@@ -1,0 +1,57 @@
+"""I/O round-trip tests (record format per SURVEY.md SS2.1 L2)."""
+import numpy as np
+
+from tpuvc.dsp.constants import RECORD_DIM, SP_DIM, cheaptrick_fft_size
+from tpuvc.io.records import (Features, energy_denormalize_sp,
+                              energy_normalize_sp, pack_records, read_bin,
+                              unpack_records, write_bin)
+from tpuvc.io.wav import read_wav, write_wav
+
+
+def test_fft_size_matches_reference_geometry():
+    # fs=16k, f0_floor=71 => FFT 1024 => 513 bins (reference analyzer.py)
+    assert cheaptrick_fft_size(16000, 71.0) == 1024
+    assert SP_DIM == 513
+    assert RECORD_DIM == 1029
+
+
+def test_record_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 17
+    feats = Features(
+        sp=rng.standard_normal((n, SP_DIM)).astype(np.float32),
+        ap=rng.uniform(0, 1, (n, SP_DIM)).astype(np.float32),
+        f0=rng.uniform(70, 300, n).astype(np.float32),
+        en=rng.uniform(0.1, 2.0, n).astype(np.float32),
+        label=7,
+    )
+    rec = pack_records(feats)
+    assert rec.shape == (n, RECORD_DIM) and rec.dtype == np.float32
+    back = unpack_records(rec)
+    np.testing.assert_array_equal(back.sp, feats.sp)
+    np.testing.assert_array_equal(back.ap, feats.ap)
+    np.testing.assert_array_equal(back.f0, feats.f0)
+    assert back.label == 7
+
+    p = tmp_path / "u.bin"
+    write_bin(str(p), feats)
+    again = read_bin(str(p))
+    np.testing.assert_array_equal(again.sp, feats.sp)
+
+
+def test_energy_normalization_roundtrip():
+    rng = np.random.default_rng(1)
+    sp = rng.uniform(1e-6, 1.0, (11, SP_DIM))
+    log_sp, en = energy_normalize_sp(sp)
+    sp2 = energy_denormalize_sp(log_sp, en)
+    np.testing.assert_allclose(sp2, sp, rtol=1e-4, atol=1e-7)
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    x = np.clip(0.5 * rng.standard_normal(16000), -1, 1)
+    p = tmp_path / "a.wav"
+    write_wav(str(p), x, 16000)
+    y, fs = read_wav(str(p))
+    assert fs == 16000
+    np.testing.assert_allclose(y, x, atol=1e-4)  # 16-bit quantization + scale

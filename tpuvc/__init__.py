@@ -1,0 +1,24 @@
+"""tpuvc — TPU-native non-parallel voice conversion framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the
+``JeremyCCHsu/vae-npvc`` reference (VAE-VC, Hsu et al. APSIPA 2016; VAW-GAN,
+Hsu et al. Interspeech 2017): WORLD-style analysis/synthesis implemented as
+batched jit-compiled device code, a speaker-conditioned convolutional VAE and
+Wasserstein-GAN critic as Flax modules, and an end-to-end conversion graph
+(analyze -> encode -> speaker-swap decode -> synthesize) compiled as a single
+device program.
+
+Layout (see SURVEY.md for the reference layer map this mirrors):
+  dsp/      WORLD-equivalent analysis + synthesis (reference: analyzer.py + pyworld C++)
+  io/       WAV + frame-record I/O (reference: analyzer.py record writer)
+  data/     normalizer / stats / input pipeline (reference: Tanhize + TF queues)
+  models/   Flax VAE + VAWGAN (reference: model/vae.py)
+  ops/      Pallas TPU kernels for the hot paths
+  parallel/ mesh + sharding helpers (reference has none; see SURVEY.md SS2.4)
+  train/    trainers + checkpointing (reference: trainer/{vae,vawgan}.py)
+  convert/  end-to-end conversion pipeline (reference: convert.py)
+  cli/      analyze / train / convert entry points (reference: analyzer.py, main.py, convert.py)
+  utils/    config, logdir, metrics (reference: util/wrapper.py, util/image.py)
+"""
+
+__version__ = "0.1.0"

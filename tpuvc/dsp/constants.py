@@ -1,0 +1,108 @@
+"""DSP constants for the WORLD-equivalent analysis/synthesis frontend.
+
+Every empirically-tuned constant of the WORLD vocoder family (DIO, StoneMask,
+CheapTrick, D4C, synthesis) lives here, with provenance notes, so parity
+tuning is a config edit rather than a code change.
+
+Reference provenance: the reference repo (``JeremyCCHsu/vae-npvc``,
+``analyzer.py``) uses pyworld defaults at 16 kHz with a 5 ms frame period and
+FFT 1024 (=> 513 spectral bins); record = 1029 float32 per frame
+``[sp(513) | ap(513) | f0 | en | label]``.  (SURVEY.md SS2.1; the reference
+mount was empty so pointers are reconstructed — see SURVEY.md provenance
+note.)  Algorithm constants follow the published WORLD papers:
+  - M. Morise et al., "WORLD: a vocoder-based high-quality speech synthesis
+    system for real-time applications", IEICE 2016.
+  - M. Morise, "CheapTrick, a spectral envelope estimator for high-quality
+    speech synthesis", Speech Communication 2015 (q1 = -0.15).
+  - M. Morise, "D4C, a band-aperiodicity estimator for high-quality speech
+    synthesis", Speech Communication 2016 (threshold 0.85, 3 kHz bands).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+# --- corpus / feature geometry (reference analyzer.py) ---
+FS = 16000                      # VCC2016 sample rate
+FRAME_PERIOD_MS = 5.0           # WORLD default frame period
+HOP = int(FS * FRAME_PERIOD_MS / 1000.0)  # 80 samples / frame
+FFT_SIZE = 1024                 # CheapTrick FFT at fs=16k, f0_floor=71
+SP_DIM = FFT_SIZE // 2 + 1      # 513
+FEAT_DIM = SP_DIM * 2 + 2       # sp + ap + f0 + en = 1028
+RECORD_DIM = FEAT_DIM + 1       # + speaker label = 1029 floats
+RECORD_BYTES = RECORD_DIM * 4
+EPSILON = 1e-10                 # log-floor used by the reference analyzer
+
+# --- f0 search range (WORLD defaults) ---
+F0_FLOOR = 71.0
+F0_CEIL = 800.0
+
+# --- DIO (f0 estimation) ---
+DIO_CHANNELS_IN_OCTAVE = 2.0    # WORLD default
+DIO_ALLOWED_RANGE = 0.1         # FixF0Contour step tolerance
+DIO_TARGET_FS = 4000.0          # decimated analysis rate (fs / decimation)
+DIO_VOICE_RANGE_MINIMUM = 9     # min voiced run, frames (~45ms), WORLD step2
+
+# --- StoneMask (f0 refinement) ---
+STONEMASK_NUM_HARMONICS = 6     # harmonics used in IF-weighted refinement
+STONEMASK_RELATIVE_LIMIT = 0.2  # reject refinement deviating >20% from DIO
+
+# --- CheapTrick (spectral envelope) ---
+CHEAPTRICK_Q1 = -0.15           # liftering compensation coefficient
+CHEAPTRICK_DEFAULT_F0 = 500.0   # envelope f0 used for unvoiced frames
+
+
+def cheaptrick_fft_size(fs: int, f0_floor: float = F0_FLOOR) -> int:
+    """WORLD: fft_size = 2 ** (1 + floor(log2(3 fs / f0_floor + 1)))."""
+    return 2 ** (1 + int(math.log2(3.0 * fs / f0_floor + 1.0)))
+
+
+def cheaptrick_f0_floor(fs: int, fft_size: int = FFT_SIZE) -> float:
+    """Lowest f0 the FFT size supports: 3 fs / (fft_size - 3)."""
+    return 3.0 * fs / (fft_size - 3.0)
+
+
+# --- D4C (band aperiodicity) ---
+D4C_THRESHOLD = 0.85            # LoveTrain voicing threshold
+D4C_FREQUENCY_INTERVAL = 3000.0  # Hz between coarse-band centers
+D4C_UPPER_LIMIT = 15000.0       # Hz cap on coarse bands
+D4C_FLOOR_DB = -60.0            # aperiodicity at DC (dB)
+D4C_CEIL_DB = -1e-12            # aperiodicity at Nyquist (dB)
+SAFE_GUARD_MINIMUM = 1e-12
+
+
+def d4c_num_bands(fs: int) -> int:
+    """Number of coarse aperiodicity bands (WORLD D4C)."""
+    return int(min(D4C_UPPER_LIMIT, fs / 2.0 - D4C_FREQUENCY_INTERVAL)
+               / D4C_FREQUENCY_INTERVAL)
+
+
+# --- synthesis ---
+SYNTH_NOISE_SEED = 0            # default PRNG seed for the aperiodic source
+
+
+@dataclasses.dataclass(frozen=True)
+class WorldConfig:
+    """Static analysis/synthesis configuration (shapes must be static for jit)."""
+
+    fs: int = FS
+    frame_period_ms: float = FRAME_PERIOD_MS
+    f0_floor: float = F0_FLOOR
+    f0_ceil: float = F0_CEIL
+    fft_size: int = FFT_SIZE
+
+    @property
+    def hop(self) -> int:
+        return int(self.fs * self.frame_period_ms / 1000.0)
+
+    @property
+    def sp_dim(self) -> int:
+        return self.fft_size // 2 + 1
+
+    def num_frames(self, num_samples: int) -> int:
+        """WORLD frame count: floor(T / hop) + 1 frames at t = i * hop."""
+        return num_samples // self.hop + 1
+
+
+DEFAULT_WORLD = WorldConfig()

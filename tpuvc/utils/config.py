@@ -1,0 +1,117 @@
+"""Two-tier config system mirroring the reference's shape (SURVEY.md SS5.6).
+
+The reference drives everything from an ``architecture-vawgan-vcc2016.json``
+file (layer specs + training block) plus CLI flags; model/trainer classes are
+chosen dynamically by string name.  We keep the same two tiers — CLI flags +
+one JSON — but resolve names through an explicit registry
+(:mod:`tpuvc.utils.registry`) instead of importlib strings.
+
+The JSON schema accepted here is a superset of the reference's (reconstructed;
+the reference mount was empty — SURVEY.md provenance note): per-net
+``kernel`` / ``stride`` / ``output`` lists, ``z_dim``, ``y_dim``, and a
+``training`` block with ``batch_size``, ``lr``, ``epoch``, ``alpha``,
+``lambda`` (gradient penalty), ``n_unroll``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class NetSpec:
+    """Conv stack spec: per-layer kernel length (freq axis), stride, width."""
+
+    kernel: tuple[int, ...]
+    stride: tuple[int, ...]
+    output: tuple[int, ...]
+
+    def __post_init__(self):
+        if not (len(self.kernel) == len(self.stride) == len(self.output)):
+            raise ValueError("kernel/stride/output must have equal length")
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "NetSpec":
+        def flat(v):
+            # accept reference-style [[7,1],[7,1],...] or flat [7,7,...]
+            return tuple(k[0] if isinstance(k, (list, tuple)) else k for k in v)
+        return NetSpec(kernel=flat(d["kernel"]), stride=flat(d["stride"]),
+                       output=tuple(d["output"]))
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 256
+    lr: float = 1e-4
+    beta1: float = 0.5
+    beta2: float = 0.9
+    epoch: int = 200
+    alpha: float = 50.0          # adversarial weight in the generator loss
+    gp_lambda: float = 10.0      # WGAN gradient penalty
+    n_unroll: int = 5            # critic steps per generator step
+    summary_freq: int = 100
+    save_freq: int = 10000
+    num_frames_per_epoch: int = 500_000  # VCC2016 training-set scale
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "TrainConfig":
+        return TrainConfig(
+            batch_size=int(d.get("batch_size", 256)),
+            lr=float(d.get("lr", 1e-4)),
+            beta1=float(d.get("beta1", 0.5)),
+            beta2=float(d.get("beta2", 0.9)),
+            epoch=int(d.get("epoch", 200)),
+            alpha=float(d.get("alpha", 50.0)),
+            gp_lambda=float(d.get("lambda", d.get("gp_lambda", 10.0))),
+            n_unroll=int(d.get("n_unroll", 5)),
+            summary_freq=int(d.get("summary_freq", 100)),
+            save_freq=int(d.get("save_freq", 10000)),
+            num_frames_per_epoch=int(d.get("num_frames_per_epoch", 500_000)),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class Architecture:
+    """Full model architecture (reference architecture-*.json equivalent)."""
+
+    model: str = "VAWGAN"                 # registry key: "VAE" | "VAWGAN"
+    trainer: str = "VAWGANTrainer"
+    x_dim: int = 513
+    z_dim: int = 128
+    y_dim: int = 10                       # number of speakers
+    y_emb_dim: int = 128
+    encoder: NetSpec = NetSpec((7, 7, 7, 7, 7), (3, 3, 3, 3, 3),
+                               (16, 32, 64, 128, 256))
+    generator: NetSpec = NetSpec((7, 7, 7, 7, 7), (3, 3, 3, 3, 3),
+                                 (128, 64, 32, 16, 1))
+    discriminator: NetSpec = NetSpec((7, 7, 7), (3, 3, 3), (16, 32, 64))
+    lrelu_slope: float = 0.2
+    training: TrainConfig = TrainConfig()
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Architecture":
+        kw: dict[str, Any] = {}
+        for key in ("model", "trainer", "x_dim", "z_dim", "y_dim", "y_emb_dim",
+                    "lrelu_slope"):
+            if key in d:
+                kw[key] = d[key]
+        # reference alias: "hwc": [513, 1, 1]
+        if "hwc" in d:
+            kw["x_dim"] = int(d["hwc"][0])
+        for net in ("encoder", "generator", "discriminator"):
+            if net in d:
+                kw[net] = NetSpec.from_json(d[net])
+        if "training" in d:
+            kw["training"] = TrainConfig.from_json(d["training"])
+        return Architecture(**kw)
+
+    @staticmethod
+    def load(path: str) -> "Architecture":
+        with open(path) as f:
+            return Architecture.from_json(json.load(f))
+
+
+def load_architecture(path: str) -> Architecture:
+    return Architecture.load(path)
