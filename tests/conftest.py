@@ -7,14 +7,25 @@ import os
 
 # Force CPU with 8 virtual devices so sharding/collective tests run without
 # TPU hardware.  The real-chip benchmark path is exercised by bench.py.
+# NOTE: this sandbox ships JAX_PLATFORMS=axon in the env and a sitecustomize
+# that imports jax at interpreter start, so the env var alone is NOT enough —
+# jax.config must be updated after import (before first backend use).
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# CPU XLA compiles are slow in this sandbox (tens of seconds per graph);
+# persist compiled executables across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvc-jax-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture(scope="session")

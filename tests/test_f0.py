@@ -1,0 +1,75 @@
+"""DIO + StoneMask correctness tests on signals with known f0."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_harmonic
+from tpuvc.dsp.constants import DEFAULT_WORLD
+from tpuvc.dsp.dio import dio_config
+from tpuvc.dsp.stonemask import stonemask_config
+
+
+def _mid(a, frac=0.25):
+    n = len(a)
+    return a[int(n * frac): int(n * (1 - frac))]
+
+
+@pytest.mark.parametrize("f0", [110.0, 165.0, 220.0, 440.0])
+def test_dio_constant_f0(f0):
+    cfg = DEFAULT_WORLD
+    x = make_harmonic(f0, fs=cfg.fs, dur_s=0.6, n_harm=6, noise=0.002)
+    est = np.asarray(dio_config(x, cfg))
+    mid = _mid(est)
+    voiced = mid[mid > 0]
+    assert len(voiced) > 0.8 * len(mid), "mid frames should be voiced"
+    err = np.abs(voiced - f0) / f0
+    assert np.median(err) < 0.03, f"median rel err {np.median(err):.3f}"
+
+
+def test_dio_silence_and_noise_are_unvoiced():
+    cfg = DEFAULT_WORLD
+    rng = np.random.default_rng(0)
+    sil = np.zeros(8000)
+    est = np.asarray(dio_config(sil, cfg))
+    assert np.all(est == 0.0)
+    noise = 0.3 * rng.standard_normal(8000)
+    est_n = np.asarray(dio_config(noise, cfg))
+    assert np.mean(est_n > 0) < 0.3, "white noise should be mostly unvoiced"
+
+
+def test_dio_voiced_unvoiced_transition():
+    cfg = DEFAULT_WORLD
+    f0 = 180.0
+    x1 = make_harmonic(f0, fs=cfg.fs, dur_s=0.3, n_harm=6)
+    rng = np.random.default_rng(1)
+    x = np.concatenate([x1, 0.05 * rng.standard_normal(4800)])
+    est = np.asarray(dio_config(x, cfg))
+    n_voiced_frames = int(0.3 * cfg.fs / cfg.hop)
+    head = est[6:n_voiced_frames - 6]
+    tail = est[n_voiced_frames + 8:-4]
+    assert np.mean(head > 0) > 0.7
+    assert np.mean(np.abs(head[head > 0] - f0) / f0 < 0.05) > 0.8
+    assert np.mean(tail > 0) < 0.4
+
+
+@pytest.mark.parametrize("f0_true", [123.0, 217.0])
+def test_stonemask_refines_toward_truth(f0_true):
+    cfg = DEFAULT_WORLD
+    x = make_harmonic(f0_true, fs=cfg.fs, dur_s=0.5, n_harm=6, noise=0.002)
+    n = cfg.num_frames(len(x))
+    # start from a deliberately coarse estimate (3% off)
+    coarse = np.full(n, f0_true * 1.03, np.float32)
+    refined = np.asarray(stonemask_config(x, coarse, cfg))
+    mid = _mid(refined)
+    err_ref = np.abs(mid - f0_true) / f0_true
+    assert np.median(err_ref) < 0.01, f"median err {np.median(err_ref):.4f}"
+
+
+def test_stonemask_keeps_unvoiced_zero():
+    cfg = DEFAULT_WORLD
+    rng = np.random.default_rng(2)
+    x = 0.1 * rng.standard_normal(6000)
+    n = cfg.num_frames(len(x))
+    f0 = np.zeros(n, np.float32)
+    out = np.asarray(stonemask_config(x, f0, cfg))
+    assert np.all(out == 0.0)

@@ -1,0 +1,85 @@
+"""Synthesis + analysis->synthesis round-trip tests (SURVEY.md SS4 item 2)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_harmonic
+from tpuvc.dsp.constants import DEFAULT_WORLD
+from tpuvc.dsp.dio import dio_config
+from tpuvc.dsp.synthesis import synthesize_config
+from tpuvc.dsp.world import analyze, resynthesize
+from tpuvc.ops.ola import overlap_add
+
+
+def test_overlap_add_matches_naive():
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((7, 96)).astype(np.float32)
+    hop = 32
+    got = np.asarray(overlap_add(frames, hop))
+    want = np.zeros(6 * hop + 96, np.float32)
+    for i in range(7):
+        want[i * hop: i * hop + 96] += frames[i]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_synthesis_pure_tone_from_flat_envelope():
+    """A flat envelope + f0 track must synthesize a periodic signal at f0."""
+    cfg = DEFAULT_WORLD
+    n = 100
+    f0v = 200.0
+    f0 = np.full(n, f0v, np.float32)
+    sp = np.full((n, cfg.sp_dim), 1e-4, np.float32)
+    ap = np.full((n, cfg.sp_dim), 1e-6, np.float32)
+    y = np.asarray(synthesize_config(f0, sp, ap, cfg))
+    assert y.shape == (n * cfg.hop,)
+    assert np.all(np.isfinite(y))
+    # dominant spectral peak of the middle section sits at a harmonic of f0
+    mid = y[len(y) // 4: 3 * len(y) // 4] * np.hanning(len(y) // 2)
+    spec = np.abs(np.fft.rfft(mid))
+    peak_hz = np.argmax(spec) * cfg.fs / len(mid)
+    ratio = peak_hz / f0v
+    assert abs(ratio - round(ratio)) < 0.08, f"peak at {peak_hz:.1f} Hz"
+
+
+def test_synthesis_unvoiced_is_noise():
+    cfg = DEFAULT_WORLD
+    n = 50
+    f0 = np.zeros(n, np.float32)
+    sp = np.full((n, cfg.sp_dim), 1e-4, np.float32)
+    ap = np.ones((n, cfg.sp_dim), np.float32) * (1 - 1e-9)
+    y = np.asarray(synthesize_config(f0, sp, ap, cfg))
+    assert np.all(np.isfinite(y)) and np.std(y) > 0
+    # autocorrelation of white-ish noise should have no strong periodic peak
+    yc = y[200:-200]
+    ac = np.correlate(yc, yc, "full")[len(yc) - 1:]
+    ac /= ac[0]
+    assert np.max(np.abs(ac[40:400])) < 0.35
+
+
+@pytest.mark.parametrize("f0_true", [140.0, 230.0])
+def test_roundtrip_preserves_f0_and_spectrum(f0_true):
+    """analyze -> synthesize -> re-analyze: f0 and envelope must survive."""
+    cfg = DEFAULT_WORLD
+    x = make_harmonic(f0_true, fs=cfg.fs, dur_s=0.6, n_harm=8, noise=0.001)
+    feats = analyze(x, cfg)
+    y = np.asarray(resynthesize(feats, cfg))
+    assert np.all(np.isfinite(y))
+
+    f0_back = np.asarray(dio_config(y, cfg))
+    mid = f0_back[len(f0_back) // 4: 3 * len(f0_back) // 4]
+    voiced = mid[mid > 0]
+    assert len(voiced) > 0.7 * len(mid)
+    assert abs(np.median(voiced) - f0_true) / f0_true < 0.05
+
+    # spectral envelope round-trip: compare re-analyzed envelope in dB over
+    # mid frames, within the band where the source actually has energy
+    # (above the last harmonic the "envelope" is numerical floor on both
+    # sides and not meaningful to compare)
+    feats2 = analyze(y[: len(x)], cfg)
+    n = min(feats.sp.shape[0], feats2.sp.shape[0])
+    s1 = 10 * np.log10(np.asarray(feats.sp[n // 4: 3 * n // 4]) + 1e-20)
+    s2 = 10 * np.log10(np.asarray(feats2.sp[n // 4: 3 * n // 4]) + 1e-20)
+    lo = int(100 / (cfg.fs / cfg.fft_size))
+    hi = int(min(8 * f0_true, 5000) / (cfg.fs / cfg.fft_size))
+    diff = np.abs(s1[:, lo:hi].mean(0) - s2[:, lo:hi].mean(0))
+    assert diff.mean() < 5.0, f"mean band error {diff.mean():.1f} dB"

@@ -1,0 +1,89 @@
+"""Shared filtering utilities for the analysis frontend (host+device).
+
+The reference's WORLD C++ dependency does its filtering with
+Nuttall-windowed FIRs applied via FFT (DIO GetFilteredSignal) and a fixed
+FIR decimator (SURVEY.md SS2.3 N1).  Here both are dense FFT-domain ops,
+batched over filter channels, which XLA compiles to a handful of large
+(batched) FFTs — the TPU-friendly formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def nuttall(n: int | jnp.ndarray, length: jnp.ndarray | int) -> jnp.ndarray:
+    """Nuttall window evaluated at integer positions 0..n-1 of a window of
+    the given ``length`` (may be traced; positions beyond length are ~0).
+
+    Coefficients per Nuttall (1981), as used by WORLD.
+    """
+    i = jnp.arange(n) if isinstance(n, int) else n
+    x = 2.0 * jnp.pi * i / jnp.maximum(length - 1, 1)
+    return (0.355768 - 0.487396 * jnp.cos(x) + 0.144232 * jnp.cos(2 * x)
+            - 0.012604 * jnp.cos(3 * x))
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def decimate(x: jnp.ndarray, ratio: int) -> jnp.ndarray:
+    """Low-pass + subsample by an integer ratio (zero-phase, FFT domain).
+
+    Equivalent in role to WORLD's FIR decimator: keeps content below
+    0.45 * fs / ratio, then takes every ``ratio``-th sample.
+    """
+    if ratio == 1:
+        return x
+    n = x.shape[-1]
+    spec = jnp.fft.rfft(x, axis=-1)
+    freqs = jnp.fft.rfftfreq(n)  # cycles/sample
+    cutoff = 0.45 / ratio
+    # raised-cosine rolloff from 0.9*cutoff to cutoff for mild transition
+    lo, hi = 0.9 * cutoff, cutoff
+    gain = jnp.clip((hi - freqs) / (hi - lo), 0.0, 1.0)
+    gain = 0.5 - 0.5 * jnp.cos(jnp.pi * gain)
+    y = jnp.fft.irfft(spec * gain, n=n, axis=-1)
+    return y[..., ::ratio]
+
+
+def lowpass_bank_fft(x: jnp.ndarray, fs: float,
+                     boundary_f0s: tuple[float, ...]) -> jnp.ndarray:
+    """Bank of WORLD-DIO-style low-pass filters applied in one batched FFT.
+
+    WORLD uses a Nuttall window of length ~4 periods of each boundary f0 as
+    the FIR taps (its main lobe acts as the low-pass; first null at
+    ~boundary_f0).  We evaluate all channel FIRs on a common max-length grid
+    (masked per channel), FFT once, multiply, and IFFT the whole bank.
+
+    Args:
+      x: [T] decimated signal.
+      fs: its sample rate (static).
+      boundary_f0s: tuple of channel cutoff fundamentals (STATIC python
+        floats — they determine filter lengths, hence shapes).
+
+    Returns: [C, T] filtered signals, group delay removed (zero-phase
+    alignment so event times line up across channels).
+    """
+    t_len = x.shape[-1]
+    c = len(boundary_f0s)
+    bounds = jnp.asarray(boundary_f0s, jnp.float32)
+    # per-channel FIR length: 4 periods + 1 (WORLD GetFilteredSignal)
+    half = jnp.rint(fs / bounds).astype(jnp.int32)        # 1 period in samples
+    fir_len = 4 * half + 1                                 # [C]
+    max_len = int(4 * round(fs / min(boundary_f0s)) + 1)
+    pos = jnp.arange(max_len)[None, :].astype(jnp.float32)  # [1, L]
+    taps = nuttall(jnp.broadcast_to(pos, (c, max_len)), fir_len[:, None])
+    taps = jnp.where(pos < fir_len[:, None], taps, 0.0)
+    taps = taps / jnp.sum(taps, axis=-1, keepdims=True)    # unit DC gain
+    nfft = 1
+    while nfft < t_len + max_len:
+        nfft *= 2
+    xs = jnp.fft.rfft(x, n=nfft)
+    hs = jnp.fft.rfft(taps, n=nfft, axis=-1)
+    y = jnp.fft.irfft(xs[None, :] * hs, n=nfft, axis=-1)   # [C, nfft]
+    # remove each channel's linear-phase delay of (fir_len-1)/2 samples
+    delay = ((fir_len - 1) // 2)
+    idx = jnp.arange(t_len)[None, :] + delay[:, None]
+    return jnp.take_along_axis(y, idx, axis=-1)

@@ -1,0 +1,129 @@
+"""WORLD-style synthesis, batched and jit-compiled.
+
+TPU-native rebuild of WORLD synthesis (reference: ``pw2wav`` ->
+``pyworld.synthesize``, reference analyzer.py:~L40-60, SURVEY.md SS2.3 N4).
+The reference's C++ walks pitch marks and overlap-adds one response per
+pulse — an irregular, data-dependent loop.  Here synthesis is
+frame-synchronous and fully dense:
+
+  1. per-sample excitation: f0 is interpolated to the sample grid, a
+     cumulative-phase wrap detector places unit pulses (amplitude
+     sqrt(fs/f0), i.e. unit average power), and a PRNG provides unit-power
+     white noise for the aperiodic source
+  2. per-frame minimum-phase responses are built from the spectral envelope
+     via the cepstral method (two batched FFTs): periodic response from
+     sp * (1 - ap^2), aperiodic from sp * ap^2
+  3. each frame's excitation slice (one hop) is convolved with that frame's
+     responses by FFT and overlap-added (dense shifted adds, ops/ola.py)
+
+The per-frame (rather than per-pulse) response update and the integer-sample
+pulse placement are the two approximations vs WORLD; both operate at the
+5 ms frame scale and below, and the analysis->synthesis round-trip test
+bounds their effect.  Responses longer than fft_size - hop wrap circularly;
+minimum-phase responses decay fast enough that the wrapped tail is far below
+the noise floor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpuvc.dsp.constants import DEFAULT_WORLD, WorldConfig
+from tpuvc.ops.ola import overlap_add
+
+
+def minimum_phase_spectrum(log_amp_half: jnp.ndarray,
+                           fft_size: int) -> jnp.ndarray:
+    """Minimum-phase spectrum exp(H) from half-spectrum log-AMPLITUDE.
+
+    Cepstral method: fold the anticausal cepstrum onto the causal side.
+    Input [..., fft_size//2+1] real; output [..., fft_size//2+1] complex.
+    """
+    cep = jnp.fft.irfft(log_amp_half.astype(jnp.complex64), n=fft_size,
+                        axis=-1)
+    half = fft_size // 2
+    fold = jnp.concatenate([
+        cep[..., :1],
+        2.0 * cep[..., 1:half],
+        cep[..., half:half + 1],
+        jnp.zeros_like(cep[..., half + 1:]),
+    ], axis=-1)
+    return jnp.exp(jnp.fft.rfft(fold, n=fft_size, axis=-1))
+
+
+def _excitation(f0: jnp.ndarray, n_samples: int, hop: int, fs: int,
+                key: jax.Array) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample pulse train and white noise, both ~unit average power."""
+    n = jnp.arange(n_samples)
+    i0 = jnp.minimum(n // hop, f0.shape[0] - 1)
+    i1 = jnp.minimum(i0 + 1, f0.shape[0] - 1)
+    w = (n % hop).astype(jnp.float32) / hop
+    a, b = f0[i0], f0[i1]
+    both = (a > 0) & (b > 0)
+    f0_s = jnp.where(both, (1.0 - w) * a + w * b, jnp.maximum(a, b))
+    vuv = jnp.where(w < 0.5, a > 0, b > 0)
+
+    phase = 2.0 * jnp.pi * jnp.cumsum(jnp.where(vuv, f0_s, 0.0)) / fs
+    cyc = jnp.floor(phase / (2.0 * jnp.pi))
+    prev = jnp.concatenate([cyc[:1] - 1, cyc[:-1]])
+    is_pulse = (cyc > prev) & vuv
+    # sqrt(period) makes the pulse train unit average power; CheapTrick's
+    # smoothing gain (x1.5 at harmonic peaks) and its sinc-lifter peak
+    # attenuation cancel to ~1, so analyze(synthesize(sp)) == sp at harmonic
+    # peaks with no extra factor (round-trip tested to within ~0.2 dB)
+    amp = jnp.sqrt(fs / jnp.maximum(f0_s, 1.0))
+    pulses = jnp.where(is_pulse, amp, 0.0)
+    noise = jax.random.normal(key, (n_samples,), jnp.float32)
+    return pulses, noise
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "hop", "fft_size"))
+def synthesize(f0: jnp.ndarray, sp: jnp.ndarray, ap: jnp.ndarray,
+               fs: int = DEFAULT_WORLD.fs, hop: int = DEFAULT_WORLD.hop,
+               fft_size: int = DEFAULT_WORLD.fft_size,
+               seed: int | jax.Array = 0) -> jnp.ndarray:
+    """Synthesize a waveform from WORLD features.
+
+    Args:
+      f0: [N] Hz (0 = unvoiced).
+      sp: [N, fft_size//2+1] POWER spectral envelope (pyworld convention).
+      ap: [N, fft_size//2+1] aperiodicity amplitude ratio in [0, 1].
+    Returns: [N * hop] float32 waveform.
+    """
+    n_frames = f0.shape[0]
+    n_samples = n_frames * hop
+    f0 = f0.astype(jnp.float32)
+    sp = sp.astype(jnp.float32)
+    ap = ap.astype(jnp.float32)
+
+    if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype,
+                                                      jnp.unsignedinteger):
+        key = seed  # already a PRNG key
+    else:
+        key = jax.random.PRNGKey(seed)
+    pulses, noise = _excitation(f0, n_samples, hop, fs, key)
+
+    ap2 = jnp.clip(ap * ap, 1e-12, 1.0)
+    log_amp_p = 0.5 * jnp.log(jnp.maximum(sp * (1.0 - ap2), 1e-20))
+    log_amp_n = 0.5 * jnp.log(jnp.maximum(sp * ap2, 1e-20))
+    h_p = minimum_phase_spectrum(log_amp_p, fft_size)     # [N, half]
+    h_n = minimum_phase_spectrum(log_amp_n, fft_size)
+
+    seg_p = pulses.reshape(n_frames, hop)
+    seg_n = noise.reshape(n_frames, hop)
+    e_p = jnp.fft.rfft(seg_p, n=fft_size, axis=-1)
+    e_n = jnp.fft.rfft(seg_n, n=fft_size, axis=-1)
+    resp = jnp.fft.irfft(e_p * h_p + e_n * h_n, n=fft_size, axis=-1)
+
+    out = overlap_add(resp, hop)
+    return out[:n_samples]
+
+
+def synthesize_config(f0: jnp.ndarray, sp: jnp.ndarray, ap: jnp.ndarray,
+                      cfg: WorldConfig = DEFAULT_WORLD,
+                      seed: int = 0) -> jnp.ndarray:
+    return synthesize(f0, sp, ap, fs=cfg.fs, hop=cfg.hop,
+                      fft_size=cfg.fft_size, seed=seed)

@@ -1,0 +1,64 @@
+"""Top-level WORLD-equivalent analysis / synthesis entry points.
+
+``analyze`` mirrors the reference's ``wav2pw`` (analyzer.py:~L30
+[reconstructed], itself pyworld dio -> stonemask -> cheaptrick -> d4c) as one
+jit-compiled device program per utterance; ``synthesize`` mirrors ``pw2wav``.
+Batched variants vmap over utterances of equal padded length — the
+data-parallel unit for corpus analysis (SURVEY.md SS2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuvc.dsp.cheaptrick import cheaptrick
+from tpuvc.dsp.constants import DEFAULT_WORLD, WorldConfig
+from tpuvc.dsp.d4c import d4c
+from tpuvc.dsp.dio import dio
+from tpuvc.dsp.stonemask import stonemask
+from tpuvc.dsp.synthesis import synthesize
+
+
+class WorldFeatures(NamedTuple):
+    f0: jnp.ndarray   # [N] Hz, 0 = unvoiced
+    sp: jnp.ndarray   # [N, half] power spectral envelope
+    ap: jnp.ndarray   # [N, half] aperiodicity amplitude ratio
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "hop", "fft_size", "f0_floor",
+                                    "f0_ceil"))
+def _analyze(x, fs, hop, fft_size, f0_floor, f0_ceil):
+    n_frames = x.shape[0] // hop + 1
+    centers = jnp.arange(n_frames, dtype=jnp.int32) * hop
+    f0_coarse = dio(x, fs=fs, hop=hop, f0_floor=f0_floor, f0_ceil=f0_ceil)
+    f0 = stonemask(x, f0_coarse, centers, fs=fs)
+    sp = cheaptrick(x, f0, centers, fs=fs, fft_size=fft_size)
+    ap = d4c(x, f0, centers, fs=fs, fft_size=fft_size)
+    return WorldFeatures(f0=f0, sp=sp, ap=ap)
+
+
+def analyze(x: jnp.ndarray,
+            cfg: WorldConfig = DEFAULT_WORLD) -> WorldFeatures:
+    """Full analysis of one utterance: f0 + envelope + aperiodicity."""
+    return _analyze(jnp.asarray(x, jnp.float32), cfg.fs, cfg.hop,
+                    cfg.fft_size, cfg.f0_floor, cfg.f0_ceil)
+
+
+def analyze_batch(xs: jnp.ndarray,
+                  cfg: WorldConfig = DEFAULT_WORLD) -> WorldFeatures:
+    """vmapped analysis over [B, T] equal-length (padded) utterances."""
+    fn = functools.partial(_analyze, fs=cfg.fs, hop=cfg.hop,
+                           fft_size=cfg.fft_size, f0_floor=cfg.f0_floor,
+                           f0_ceil=cfg.f0_ceil)
+    return jax.vmap(fn)(jnp.asarray(xs, jnp.float32))
+
+
+def resynthesize(feats: WorldFeatures, cfg: WorldConfig = DEFAULT_WORLD,
+                 seed: int = 0) -> jnp.ndarray:
+    return synthesize(feats.f0, feats.sp, feats.ap, fs=cfg.fs, hop=cfg.hop,
+                      fft_size=cfg.fft_size, seed=seed)
