@@ -1,0 +1,129 @@
+"""Training-step tests: loss decreases, GAN alternation works, DP equality.
+
+Covers SURVEY.md SS4 items 2-4 (model/trainer units + distributed-without-
+a-cluster psum equivalence on the virtual 8-device CPU mesh).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvc.models.vae import CVAE, VAWGAN
+from tpuvc.parallel import mesh as mesh_lib
+from tpuvc.train import steps as steps_lib
+from tpuvc.utils.config import Architecture, NetSpec, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def small_arch():
+    return Architecture(
+        z_dim=16, y_dim=4, y_emb_dim=8,
+        encoder=NetSpec((7, 7), (3, 3), (8, 16)),
+        generator=NetSpec((7, 7, 7), (3, 3, 3), (16, 8, 1)),
+        discriminator=NetSpec((7, 7), (3, 3), (8, 16)),
+        training=TrainConfig(batch_size=32, lr=1e-3, n_unroll=2,
+                             alpha=1.0, gp_lambda=10.0),
+    )
+
+
+def _toy_batch(rng, n, arch):
+    """Speaker-dependent toy frames: speaker k has a distinct mean vector."""
+    y = rng.integers(0, arch.y_dim, n)
+    base = np.linspace(-1, 1, arch.x_dim, dtype=np.float32)
+    x = (np.sin(base[None, :] * (2 + y[:, None]))
+         + 0.05 * rng.standard_normal((n, arch.x_dim))).astype(np.float32)
+    return x, y.astype(np.int32)
+
+
+def test_vae_loss_decreases(small_arch):
+    rng = np.random.default_rng(0)
+    model = CVAE(arch=small_arch)
+    state = steps_lib.init_vae_state(model, small_arch, jax.random.PRNGKey(0))
+    step_fn = steps_lib.make_vae_step(model, small_arch)
+    key = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(60):
+        x, y = _toy_batch(rng, 32, small_arch)
+        state, m = step_fn(state, jnp.asarray(x), jnp.asarray(y), key)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 1.0, (
+        f"first {np.mean(losses[:10]):.1f} last {np.mean(losses[-10:]):.1f}")
+
+
+def test_vawgan_step_runs_and_is_finite(small_arch):
+    rng = np.random.default_rng(1)
+    model = VAWGAN(arch=small_arch)
+    state = steps_lib.init_vawgan_state(model, small_arch,
+                                        jax.random.PRNGKey(0))
+    step_fn = steps_lib.make_vawgan_step(model, small_arch)
+    key = jax.random.PRNGKey(7)
+    n_unroll = small_arch.training.n_unroll
+    w_hist = []
+    for i in range(12):
+        xc = np.stack([_toy_batch(rng, 32, small_arch)[0]
+                       for _ in range(n_unroll)])
+        yc = np.stack([_toy_batch(rng, 32, small_arch)[1]
+                       for _ in range(n_unroll)])
+        xg, yg = _toy_batch(rng, 32, small_arch)
+        state, m = step_fn(state, jnp.asarray(xc), jnp.asarray(yc),
+                           jnp.asarray(xg), jnp.asarray(yg), key)
+        for k in ("W_dist", "GP", "l_D", "D_KL", "logP", "l_G"):
+            assert np.isfinite(float(m[k])), (k, m)
+        w_hist.append(float(m["W_dist"]))
+    assert int(state.step) == 12
+
+
+def test_vawgan_critic_update_leaves_generator_untouched(small_arch):
+    """During critic steps only critic params may change; generator params
+    change only via the generator update."""
+    rng = np.random.default_rng(2)
+    model = VAWGAN(arch=small_arch)
+    state = steps_lib.init_vawgan_state(model, small_arch,
+                                        jax.random.PRNGKey(0))
+    step_fn = steps_lib.make_vawgan_step(model, small_arch)
+    n_unroll = small_arch.training.n_unroll
+    xc = np.stack([_toy_batch(rng, 32, small_arch)[0]
+                   for _ in range(n_unroll)])
+    yc = np.stack([_toy_batch(rng, 32, small_arch)[1]
+                   for _ in range(n_unroll)])
+    xg, yg = _toy_batch(rng, 32, small_arch)
+    before = jax.device_get(state.params)
+    state2, _ = step_fn(state, jnp.asarray(xc), jnp.asarray(yc),
+                        jnp.asarray(xg), jnp.asarray(yg),
+                        jax.random.PRNGKey(1))
+    after = jax.device_get(state2.params)
+    # critic changed
+    d0 = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))),
+                      before["params"]["critic"], after["params"]["critic"])
+    assert max(jax.tree.leaves(d0)) > 0
+    # encoder+decoder changed too (generator update ran)
+    d1 = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))),
+                      before["params"]["encoder"], after["params"]["encoder"])
+    assert max(jax.tree.leaves(d1)) > 0
+
+
+def test_data_parallel_matches_single_device(small_arch):
+    """Same batch, 8-device sharded vs single-device: identical update."""
+    rng = np.random.default_rng(3)
+    model = CVAE(arch=small_arch)
+    key = jax.random.PRNGKey(0)
+    x, y = _toy_batch(rng, 32, small_arch)
+
+    state1 = steps_lib.init_vae_state(model, small_arch, key)
+    step_fn = steps_lib.make_vae_step(model, small_arch)
+    state1, m1 = step_fn(state1, jnp.asarray(x), jnp.asarray(y),
+                         jax.random.PRNGKey(9))
+
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8, "conftest must provide 8 CPU devices"
+    state2 = steps_lib.init_vae_state(model, small_arch, key)
+    xs, ys = mesh_lib.shard_batch(mesh, x, y)
+    state2, m2 = step_fn(state2, xs, ys, jax.random.PRNGKey(9))
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    leaves1 = jax.tree.leaves(jax.device_get(state1.params))
+    leaves2 = jax.tree.leaves(jax.device_get(state2.params))
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)

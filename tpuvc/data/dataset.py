@@ -1,0 +1,69 @@
+"""Frame dataset + batcher (the reference's TF-queue input pipeline, L3).
+
+The reference streams 1029-float records through TF queue runners
+(string_input_producer -> FixedLengthRecordReader -> shuffle_batch,
+SURVEY.md SS2.1).  Frames are i.i.d. samples here, so the TPU-native
+pipeline is simpler and faster: load the (small) corpus' normalized-log-SP
+frames and labels into one host array once, then emit epoch-shuffled
+minibatches; the training loop puts them on device asynchronously
+(dispatch runs ahead of the device).  VCC2016's whole training split is
+~1M frames x 514 floats = ~2 GB — comfortably host-resident; a memory-map
+fallback covers larger corpora.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Iterator
+
+import numpy as np
+
+from tpuvc.data.normalizer import Tanhize
+from tpuvc.dsp.constants import FEAT_DIM, RECORD_DIM, SP_DIM
+from tpuvc.io import corpus as corpus_io
+
+
+@dataclasses.dataclass
+class FrameDataset:
+    """All (sp_frame, speaker) pairs of a corpus split, host-resident."""
+
+    x: np.ndarray  # [n, SP_DIM] normalized-log-SP (pre-Tanhize)
+    y: np.ndarray  # [n] int32 speaker ids
+
+    @staticmethod
+    def from_bin_dir(corpus_root: str, split: str = corpus_io.TRAIN_SPLIT,
+                     mmap: bool = False) -> "FrameDataset":
+        paths = corpus_io.list_bins(corpus_root, split)
+        if not paths:
+            raise FileNotFoundError(
+                f"no .bin records under {corpus_root}/bin/{split}")
+        xs, ys = [], []
+        for p in paths:
+            raw = (np.memmap(p, dtype=np.float32, mode="r") if mmap
+                   else np.fromfile(p, dtype=np.float32))
+            rec = raw.reshape(-1, RECORD_DIM)
+            xs.append(np.asarray(rec[:, :SP_DIM], np.float32))
+            ys.append(np.asarray(rec[:, FEAT_DIM], np.int32))
+        return FrameDataset(x=np.concatenate(xs), y=np.concatenate(ys))
+
+    def __len__(self) -> int:
+        return self.x.shape[0]
+
+    def fit_normalizer(self) -> Tanhize:
+        return Tanhize.fit(self.x)
+
+    def batches(self, batch_size: int, seed: int = 0, normalizer:
+                Tanhize | None = None,
+                drop_remainder: bool = True) -> Iterator[tuple[np.ndarray,
+                                                               np.ndarray]]:
+        """Infinite epoch-shuffled minibatch stream."""
+        rng = np.random.default_rng(seed)
+        n = len(self)
+        x = self.x if normalizer is None else normalizer.forward(
+            self.x).astype(np.float32)
+        while True:
+            perm = rng.permutation(n)
+            end = n - n % batch_size if drop_remainder else n
+            for i in range(0, end, batch_size):
+                idx = perm[i:i + batch_size]
+                yield x[idx], self.y[idx]

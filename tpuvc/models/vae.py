@@ -1,0 +1,201 @@
+"""Speaker-conditioned convolutional VAE and VAW-GAN critic (Flax).
+
+TPU-native rebuild of the reference's models (model/vae.py: conv encoder,
+speaker-conditioned decoder/generator, Wasserstein critic — SURVEY.md SS2.1,
+SS3.4 [reconstructed]).  Differences from the reference are deliberate,
+TPU-first choices:
+
+  - frames are [B, 513] and convolutions are 1-D over the frequency axis
+    (the reference reshapes to NHWC [b,513,1,1] and uses 2-D convs with
+    [k,1] kernels — same arithmetic, clumsier layout);
+  - LayerNorm instead of batch norm everywhere: jit-friendly (no mutable
+    batch stats), valid inside the WGAN-GP critic, and identical math at
+    this model scale;
+  - the decoder's transposed-conv stack starts from 19 latent positions and
+    upsamples 19 -> 57 -> 171 -> 513 (strides 3,3,3,1,1), because 513 =
+    27 * 19 composes exactly; the reference mirrors its encoder from 3
+    positions, which cannot hit 513 with stride-3 transposed convs without
+    cropping;
+  - compute dtype is configurable (bfloat16 on TPU; float32 in tests) with
+    float32 parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpuvc.models import losses
+from tpuvc.utils.config import Architecture, NetSpec
+
+Dtype = Any
+
+
+class ConvStack(nn.Module):
+    """Strided 1-D conv stack with LayerNorm + LeakyReLU after each layer."""
+
+    spec: NetSpec
+    slope: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:  # [B, L, C]
+        for k, s, c in zip(self.spec.kernel, self.spec.stride,
+                           self.spec.output):
+            h = nn.Conv(c, (k,), strides=(s,), padding="SAME",
+                        dtype=self.dtype)(h)
+            h = nn.LayerNorm(dtype=self.dtype)(h)
+            h = nn.leaky_relu(h, self.slope)
+        return h
+
+
+class Encoder(nn.Module):
+    """x [B, 513] -> (z_mu, z_log_var) [B, z_dim] (reference _encode)."""
+
+    arch: Architecture
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        h = x[..., None].astype(self.dtype)                 # [B, 513, 1]
+        h = ConvStack(self.arch.encoder, self.arch.lrelu_slope,
+                      self.dtype)(h)
+        h = h.reshape(h.shape[0], -1)
+        mu = nn.Dense(self.arch.z_dim, dtype=self.dtype)(h)
+        lv = nn.Dense(self.arch.z_dim, dtype=self.dtype)(h)
+        return mu.astype(jnp.float32), lv.astype(jnp.float32)
+
+
+class Decoder(nn.Module):
+    """(z [B, z_dim], y [B] int) -> x_hat [B, 513] (reference _generate).
+
+    The speaker code is embedded and concatenated with z at the input,
+    exactly the reference's conditioning point.
+    """
+
+    arch: Architecture
+    dtype: Dtype = jnp.float32
+    base_len: int = 19  # 19 * 3^3 = 513
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        emb = nn.Embed(self.arch.y_dim, self.arch.y_emb_dim,
+                       dtype=self.dtype)(y)                 # [B, E]
+        h = jnp.concatenate([z.astype(self.dtype), emb], axis=-1)
+        spec = self.arch.generator
+        c0 = spec.output[0]
+        h = nn.Dense(self.base_len * c0, dtype=self.dtype)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
+        h = nn.leaky_relu(h, self.arch.lrelu_slope)
+        h = h.reshape(h.shape[0], self.base_len, c0)
+        n_layers = len(spec.kernel)
+        for i, (k, s, c) in enumerate(zip(spec.kernel, spec.stride,
+                                          spec.output)):
+            last = i == n_layers - 1
+            h = nn.ConvTranspose(c, (k,), strides=(s,), padding="SAME",
+                                 dtype=self.dtype)(h)
+            if not last:
+                h = nn.LayerNorm(dtype=self.dtype)(h)
+                h = nn.leaky_relu(h, self.arch.lrelu_slope)
+        # final layer has 1 channel: squeeze to a frame
+        out = h.squeeze(-1) if h.shape[-1] == 1 else nn.Dense(
+            1, dtype=self.dtype)(h).squeeze(-1)
+        return out.astype(jnp.float32)
+
+
+class Critic(nn.Module):
+    """Wasserstein critic x [B, 513] -> score [B] (reference _discriminate)."""
+
+    arch: Architecture
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = x[..., None].astype(self.dtype)
+        h = ConvStack(self.arch.discriminator, self.arch.lrelu_slope,
+                      self.dtype)(h)
+        h = h.reshape(h.shape[0], -1)
+        return nn.Dense(1, dtype=self.dtype)(h)[..., 0].astype(jnp.float32)
+
+
+class CVAE(nn.Module):
+    """The plain speaker-conditioned VAE (reference model 'VAE')."""
+
+    arch: Architecture
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.arch, self.dtype)
+        self.decoder = Decoder(self.arch, self.dtype)
+
+    def encode(self, x):
+        return self.encoder(x)
+
+    def decode(self, z, y):
+        return self.decoder(z, y)
+
+    def __call__(self, x, y, rng):
+        mu, lv = self.encoder(x)
+        z = losses.reparameterize(rng, mu, lv)
+        xh = self.decoder(z, y)
+        return {"z_mu": mu, "z_lv": lv, "z": z, "xh": xh}
+
+    def loss(self, x, y, rng):
+        """Reference model.loss(): {D_KL, logP} plus the total objective."""
+        out = self(x, y, rng)
+        kld = losses.gaussian_kld(out["z_mu"], out["z_lv"])
+        logp = losses.gaussian_log_density(x, out["xh"])
+        return {"D_KL": kld, "logP": logp, "loss": kld - logp}, out
+
+
+class VAWGAN(nn.Module):
+    """VAE + Wasserstein critic (reference model 'VAWGAN').
+
+    Exposes encode/decode/critic as submodule methods so the trainer can
+    take gradients of different objectives w.r.t. disjoint parameter sets.
+    """
+
+    arch: Architecture
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(self.arch, self.dtype)
+        self.decoder = Decoder(self.arch, self.dtype)
+        self.critic = Critic(self.arch, self.dtype)
+
+    def encode(self, x):
+        return self.encoder(x)
+
+    def decode(self, z, y):
+        return self.decoder(z, y)
+
+    def discriminate(self, x):
+        return self.critic(x)
+
+    def __call__(self, x, y, rng):
+        mu, lv = self.encoder(x)
+        z = losses.reparameterize(rng, mu, lv)
+        xh = self.decoder(z, y)
+        return {"z_mu": mu, "z_lv": lv, "z": z, "xh": xh,
+                "d_real": self.critic(x), "d_fake": self.critic(xh)}
+
+
+def make_model(arch: Architecture, dtype: Dtype = jnp.float32) -> nn.Module:
+    registry = {"VAE": CVAE, "VAWGAN": VAWGAN}
+    try:
+        cls = registry[arch.model]
+    except KeyError as e:
+        raise KeyError(f"unknown model {arch.model!r}; "
+                       f"known: {sorted(registry)}") from e
+    return cls(arch=arch, dtype=dtype)
+
+
+def init_params(model: nn.Module, arch: Architecture,
+                rng: jax.Array) -> Any:
+    x = jnp.zeros((2, arch.x_dim), jnp.float32)
+    y = jnp.zeros((2,), jnp.int32)
+    r_init, r_call = jax.random.split(rng)
+    return model.init(r_init, x, y, r_call)

@@ -1,0 +1,139 @@
+"""Trainer classes driving the jitted steps (reference trainer/{vae,vawgan}.py).
+
+The reference trainers build a TF graph, start queue runners, and loop
+sess.run (SURVEY.md SS3.2).  Here a trainer owns: a device mesh (data
+parallel), the jitted step, an Orbax checkpointer with auto-resume, and the
+metrics writer.  The host loop only feeds batches and reads scalars every
+summary_freq steps — all math is in the single compiled step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvc.models.vae import CVAE, VAWGAN
+from tpuvc.parallel import mesh as mesh_lib
+from tpuvc.train import steps as steps_lib
+from tpuvc.train.checkpoint import Checkpointer
+from tpuvc.train.summaries import MetricsWriter
+from tpuvc.utils.config import Architecture
+
+
+class _BaseTrainer:
+    def __init__(self, arch: Architecture, run_dir: str,
+                 mesh=None, seed: int = 0, use_tensorboard: bool = True):
+        self.arch = arch
+        self.run_dir = run_dir
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.rng = jax.random.PRNGKey(seed)
+        self.writer = MetricsWriter(os.path.join(run_dir, "events"),
+                                    use_tensorboard=use_tensorboard)
+        self.ckpt = Checkpointer(os.path.join(run_dir, "ckpt"))
+        self.state: Any = None
+
+    def _resume(self) -> int:
+        restored = self.ckpt.restore_latest(jax.device_get(self.state))
+        step = 0
+        if restored is not None:
+            self.state, step = restored
+        # restored (or freshly initialized) state arrays may be committed to
+        # a single device; replicate over the mesh so sharded batches compose
+        self.state = jax.device_put(self.state,
+                                    mesh_lib.replicated(self.mesh))
+        return int(step)
+
+    def _put_batch(self, *arrays, batch_axis: int = 0):
+        return mesh_lib.shard_batch(self.mesh, *arrays,
+                                    batch_axis=batch_axis)
+
+    def close(self):
+        self.ckpt.wait()
+        self.writer.close()
+
+
+class VAETrainer(_BaseTrainer):
+    """Plain conditional-VAE training (reference VAETrainer)."""
+
+    def __init__(self, arch: Architecture, run_dir: str, **kw):
+        super().__init__(arch, run_dir, **kw)
+        self.model = CVAE(arch=arch)
+        self.state = steps_lib.init_vae_state(self.model, arch, self.rng)
+        self.step_fn = steps_lib.make_vae_step(self.model, arch)
+
+    def train(self, batches: Iterator[tuple[np.ndarray, np.ndarray]],
+              total_steps: int, log_every: int | None = None,
+              save_every: int | None = None) -> dict[str, float]:
+        t = self.arch.training
+        log_every = log_every or t.summary_freq
+        save_every = save_every or t.save_freq
+        start = self._resume()
+        metrics = {}
+        for step in range(start, total_steps):
+            x, y = next(batches)
+            x, y = self._put_batch(x, y)
+            self.state, m = self.step_fn(self.state, x, y, self.rng)
+            if (step + 1) % log_every == 0 or step + 1 == total_steps:
+                metrics = {k: float(v) for k, v in m.items()}
+                self.writer.scalars(step + 1, metrics)
+            if (step + 1) % save_every == 0 or step + 1 == total_steps:
+                self.ckpt.save(step + 1, jax.device_get(self.state))
+        self.ckpt.wait()
+        return metrics
+
+
+class VAWGANTrainer(_BaseTrainer):
+    """VAE + Wasserstein critic with n_unroll critic steps per generator
+    step (reference VAWGANTrainer), all inside one jitted device program."""
+
+    def __init__(self, arch: Architecture, run_dir: str, **kw):
+        super().__init__(arch, run_dir, **kw)
+        self.model = VAWGAN(arch=arch)
+        self.state = steps_lib.init_vawgan_state(self.model, arch, self.rng)
+        self.step_fn = steps_lib.make_vawgan_step(self.model, arch)
+
+    def train(self, batches: Iterator[tuple[np.ndarray, np.ndarray]],
+              total_steps: int, log_every: int | None = None,
+              save_every: int | None = None) -> dict[str, float]:
+        t = self.arch.training
+        n_unroll = t.n_unroll
+        log_every = log_every or t.summary_freq
+        save_every = save_every or t.save_freq
+        start = self._resume()
+        metrics = {}
+        for step in range(start, total_steps):
+            xs, ys = [], []
+            for _ in range(n_unroll + 1):
+                x, y = next(batches)
+                xs.append(x)
+                ys.append(y)
+            x_crit = np.stack(xs[:-1])
+            y_crit = np.stack(ys[:-1])
+            # critic batches are [n_unroll, B, ...]: shard the B axis
+            x_crit, y_crit = self._put_batch(x_crit, y_crit, batch_axis=1)
+            x_gen, y_gen = self._put_batch(xs[-1], ys[-1])
+            self.state, m = self.step_fn(self.state, x_crit, y_crit,
+                                         x_gen, y_gen, self.rng)
+            if (step + 1) % log_every == 0 or step + 1 == total_steps:
+                metrics = {k: float(v) for k, v in m.items()}
+                self.writer.scalars(step + 1, metrics)
+            if (step + 1) % save_every == 0 or step + 1 == total_steps:
+                self.ckpt.save(step + 1, jax.device_get(self.state))
+        self.ckpt.wait()
+        return metrics
+
+
+TRAINERS = {"VAETrainer": VAETrainer, "VAWGANTrainer": VAWGANTrainer}
+
+
+def make_trainer(arch: Architecture, run_dir: str, **kw) -> _BaseTrainer:
+    try:
+        cls = TRAINERS[arch.trainer]
+    except KeyError as e:
+        raise KeyError(f"unknown trainer {arch.trainer!r}; "
+                       f"known: {sorted(TRAINERS)}") from e
+    return cls(arch, run_dir, **kw)

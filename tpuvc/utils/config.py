@@ -84,7 +84,8 @@ class Architecture:
     y_emb_dim: int = 128
     encoder: NetSpec = NetSpec((7, 7, 7, 7, 7), (3, 3, 3, 3, 3),
                                (16, 32, 64, 128, 256))
-    generator: NetSpec = NetSpec((7, 7, 7, 7, 7), (3, 3, 3, 3, 3),
+    # upsampling strides compose to 27 = 513/19 (see models/vae.py Decoder)
+    generator: NetSpec = NetSpec((7, 7, 7, 7, 7), (3, 3, 3, 1, 1),
                                  (128, 64, 32, 16, 1))
     discriminator: NetSpec = NetSpec((7, 7, 7), (3, 3, 3), (16, 32, 64))
     lrelu_slope: float = 0.2
