@@ -1,0 +1,112 @@
+"""End-to-end integration test (BASELINE config 1, SURVEY.md SS4 item 3).
+
+Tiny synthetic corpus -> analyze (CLI) -> train a small VAE a few hundred
+steps (CLI) -> convert speaker SA -> SB (CLI) on CPU, asserting the loss
+decreases and the converted audio is finite, speech-scaled, and carries
+the target speaker's f0 range.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpuvc.cli import analyze as cli_analyze
+from tpuvc.cli import convert as cli_convert
+from tpuvc.cli import train as cli_train
+from tpuvc.data.synthetic import SPEAKER_DEFS, make_corpus
+from tpuvc.dsp.constants import DEFAULT_WORLD
+from tpuvc.dsp.dio import dio_config
+from tpuvc.io import corpus as corpus_io
+from tpuvc.io.records import read_bin
+from tpuvc.io.wav import read_wav
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    make_corpus(root, n_train=4, n_test=1, dur_s=0.8, seed=0)
+    cli_analyze.main(["--corpus", root, "--quiet"])
+    return root
+
+
+def test_analyzer_outputs(corpus):
+    bins = corpus_io.list_bins(corpus, corpus_io.TRAIN_SPLIT)
+    assert len(bins) == 4 * 4
+    feats = read_bin(bins[0])
+    assert feats.sp.shape[1] == 513
+    assert np.isfinite(feats.sp).all()
+    # normalized log-SP should be negative-ish (log10 of fractions)
+    assert feats.sp.mean() < 0
+    xmin, xmax = corpus_io.load_norm_stats(os.path.join(corpus, "etc"))
+    assert xmin.shape == (513,) and np.all(xmax >= xmin)
+    mu, sd = corpus_io.load_f0_stats(os.path.join(corpus, "etc"))
+    speakers = corpus_io.read_speakers(os.path.join(corpus, "etc"))
+    assert speakers == list(SPEAKER_DEFS)
+    # per-speaker mean log-f0 should order like the defined base f0s
+    bases = [SPEAKER_DEFS[s][0] for s in speakers]
+    assert np.argsort(mu).tolist() == np.argsort(bases).tolist()
+
+
+@pytest.fixture(scope="module")
+def trained(corpus, tmp_path_factory):
+    logdir = str(tmp_path_factory.mktemp("logdir"))
+    arch_path = os.path.join(logdir, "arch.json")
+    with open(arch_path, "w") as f:
+        json.dump({
+            "model": "VAE", "trainer": "VAETrainer",
+            "z_dim": 32, "y_dim": 4, "y_emb_dim": 16,
+            "encoder": {"kernel": [7, 7, 7], "stride": [3, 3, 3],
+                        "output": [16, 32, 64]},
+            "generator": {"kernel": [7, 7, 7], "stride": [3, 3, 3],
+                          "output": [32, 16, 1]},
+            "discriminator": {"kernel": [7, 7], "stride": [3, 3],
+                              "output": [16, 32]},
+            "training": {"batch_size": 64, "lr": 2e-3,
+                         "summary_freq": 50, "save_freq": 1000},
+        }, f)
+    run_dir = cli_train.main([
+        "--architecture", arch_path, "--corpus", corpus,
+        "--logdir", logdir, "--steps", "300", "--no-tensorboard"])
+    return run_dir
+
+
+def test_training_loss_decreased(trained):
+    lines = [json.loads(l) for l in open(
+        os.path.join(trained, "events", "metrics.jsonl"))]
+    assert lines, "no metrics written"
+    first, last = lines[0], lines[-1]
+    assert last["step"] == 300
+    assert last["loss"] < first["loss"], (first, last)
+    assert np.isfinite(last["loss"])
+
+
+def test_convert_cli_produces_target_speaker_audio(corpus, trained):
+    outs = cli_convert.main([
+        "--src", "SA", "--trg", "SB", "--checkpoint", trained,
+        "--corpus", corpus])
+    assert len(outs) == 1
+    y, fs = read_wav(outs[0])
+    assert fs == 16000
+    assert np.isfinite(y).all()
+    assert 0.001 < np.std(y) < 1.0
+    # f0 of the converted audio should be near SB's range (200 Hz),
+    # far from SA's (120 Hz)
+    est = np.asarray(dio_config(y, DEFAULT_WORLD))
+    voiced = est[est > 0]
+    assert len(voiced) > 10
+    med = np.median(voiced)
+    assert abs(med - SPEAKER_DEFS["SB"][0]) < abs(med - SPEAKER_DEFS["SA"][0]), (
+        f"converted f0 median {med:.0f} Hz not nearer target")
+
+
+def test_convert_rejects_unknown_speaker(corpus, trained):
+    with pytest.raises(FileNotFoundError):
+        cli_convert.main([
+            "--src", "NOPE", "--trg", "SB", "--checkpoint", trained,
+            "--corpus", corpus])
+    with pytest.raises((KeyError, ValueError)):
+        cli_convert.main([
+            "--src", "SA", "--trg", "NOPE", "--checkpoint", trained,
+            "--corpus", corpus])

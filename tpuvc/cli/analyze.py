@@ -1,0 +1,49 @@
+"""Corpus analysis CLI (the reference's ``python analyzer.py``).
+
+  python -m tpuvc.cli.analyze --corpus dataset/vcc2016 [--splits both]
+
+Walks <corpus>/wav/{Training Set,Testing Set}/<SPK>/*.wav, writes
+reference-layout .bin frame records under <corpus>/bin/... and stats under
+<corpus>/etc/ (SURVEY.md SS3.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from tpuvc.cli.common import add_platform_flag, apply_platform
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--corpus", required=True, help="corpus root directory")
+    p.add_argument("--splits", default="both",
+                   choices=["train", "test", "both"])
+    p.add_argument("--fs", type=int, default=16000)
+    p.add_argument("--frame-period-ms", type=float, default=5.0)
+    p.add_argument("--bucket-s", type=float, default=1.0,
+                   help="utterance padding bucket in seconds (one XLA "
+                        "compile per distinct bucket count)")
+    p.add_argument("--quiet", action="store_true")
+    add_platform_flag(p)
+    args = p.parse_args(argv)
+    apply_platform(args)
+
+    from tpuvc.data.analyze_corpus import analyze_corpus
+    from tpuvc.dsp.constants import WorldConfig
+    from tpuvc.io import corpus as corpus_io
+
+    cfg = WorldConfig(fs=args.fs, frame_period_ms=args.frame_period_ms)
+    splits = {"train": (corpus_io.TRAIN_SPLIT,),
+              "test": (corpus_io.TEST_SPLIT,),
+              "both": (corpus_io.TRAIN_SPLIT, corpus_io.TEST_SPLIT)}[
+        args.splits]
+    analyze_corpus(args.corpus, cfg, splits=splits, bucket_s=args.bucket_s,
+                   verbose=not args.quiet)
+    if not args.quiet:
+        print(f"[analyze] done: records under {args.corpus}/bin, stats "
+              f"under {args.corpus}/etc")
+
+
+if __name__ == "__main__":
+    main()

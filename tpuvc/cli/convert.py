@@ -1,0 +1,101 @@
+"""Conversion CLI (the reference's ``python convert.py``).
+
+  python -m tpuvc.cli.convert --src SF1 --trg TM3 \
+      --checkpoint logdir/train/<ts> --corpus dataset/vcc2016 \
+      [--file_pattern "*.wav"] [--output DIR] [--split test]
+
+Loads the run's architecture + latest checkpoint, then converts every
+matching source-speaker utterance through the single-graph pipeline
+(analyze -> encode -> speaker-swap decode -> f0 transform -> synthesize)
+and writes <output>/<trg>-<utt>.wav, mirroring the reference's flags and
+output convention (convert.py, SURVEY.md SS3.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import fnmatch
+import os
+
+from tpuvc.cli.common import add_platform_flag, apply_platform
+
+
+def load_converter(checkpoint_dir: str, corpus_root: str):
+    """Build a Converter from a training run dir + corpus etc/ stats."""
+    import jax
+
+    from tpuvc.convert.pipeline import Converter, ConverterAssets
+    from tpuvc.io import corpus as corpus_io
+    from tpuvc.models.vae import make_model
+    from tpuvc.train import steps as steps_lib
+    from tpuvc.train.checkpoint import Checkpointer
+    from tpuvc.utils.config import Architecture
+
+    arch = Architecture.load(os.path.join(checkpoint_dir,
+                                          "architecture.json"))
+    model = make_model(arch)
+    rng = jax.random.PRNGKey(0)
+    if arch.model == "VAWGAN":
+        template = steps_lib.init_vawgan_state(model, arch, rng)
+    else:
+        template = steps_lib.init_vae_state(model, arch, rng)
+    ckpt = Checkpointer(os.path.join(checkpoint_dir, "ckpt"))
+    restored = ckpt.restore_latest(jax.device_get(template))
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint in {checkpoint_dir}/ckpt")
+    state, step = restored
+
+    etc = os.path.join(corpus_root, "etc")
+    xmin, xmax = corpus_io.load_norm_stats(etc)
+    mu, sigma = corpus_io.load_f0_stats(etc)
+    speakers = corpus_io.read_speakers(etc)
+    assets = ConverterAssets(xmin=xmin, xmax=xmax, f0_mu=mu, f0_sigma=sigma,
+                             speakers=speakers)
+    return Converter(model, state.params, assets), step
+
+
+def main(argv: list[str] | None = None) -> list[str]:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--src", required=True)
+    p.add_argument("--trg", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="training run directory (logdir/train/<ts>)")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--file_pattern", default="*.wav")
+    p.add_argument("--split", default="test", choices=["train", "test"])
+    p.add_argument("--output", default=None,
+                   help="default: <checkpoint>/converted")
+    p.add_argument("--seed", type=int, default=0)
+    add_platform_flag(p)
+    args = p.parse_args(argv)
+    apply_platform(args)
+
+    from tpuvc.io import corpus as corpus_io
+    from tpuvc.io.wav import read_wav, write_wav
+
+    converter, step = load_converter(args.checkpoint, args.corpus)
+    split = (corpus_io.TEST_SPLIT if args.split == "test"
+             else corpus_io.TRAIN_SPLIT)
+    wavs = [w for w in corpus_io.list_wavs(args.corpus, split, args.src)
+            if fnmatch.fnmatch(os.path.basename(w), args.file_pattern)]
+    if not wavs:
+        raise FileNotFoundError(
+            f"no wavs for speaker {args.src} in split {split!r}")
+    out_dir = args.output or os.path.join(args.checkpoint, "converted")
+    os.makedirs(out_dir, exist_ok=True)
+    outputs = []
+    for w in wavs:
+        x, fs = read_wav(w)
+        y = converter.convert(x, args.src, args.trg, seed=args.seed)
+        out = os.path.join(
+            out_dir, f"{args.trg}-{os.path.splitext(os.path.basename(w))[0]}"
+                     ".wav")
+        write_wav(out, y, fs)
+        outputs.append(out)
+        print(f"[convert] step{step} {args.src}->{args.trg} "
+              f"{os.path.basename(w)} -> {out}")
+    return outputs
+
+
+if __name__ == "__main__":
+    main()

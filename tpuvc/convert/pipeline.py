@@ -1,0 +1,123 @@
+"""End-to-end conversion: analysis -> VAE speaker swap -> synthesis.
+
+The reference's convert.py round-trips the GPU per utterance and crosses
+into WORLD C++ twice (SURVEY.md SS3.3).  Here the ENTIRE chain — DIO /
+StoneMask / CheapTrick / D4C, energy-norm + Tanhize, encode, speaker-swap
+decode, de-norm, log-linear f0 transform, minimum-phase synthesis — is ONE
+jit-compiled device program per (padded) utterance length
+(BASELINE.json config 5: 'End-to-end streaming convert ... in one jit
+graph').  Batched conversion vmaps the same graph over utterances for the
+all-pairs config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvc.dsp.cheaptrick import cheaptrick
+from tpuvc.dsp.constants import EPSILON, DEFAULT_WORLD, WorldConfig
+from tpuvc.dsp.d4c import d4c
+from tpuvc.dsp.dio import dio
+from tpuvc.dsp.stonemask import stonemask
+from tpuvc.dsp.synthesis import synthesize
+from tpuvc.convert.f0 import convert_f0
+
+
+@dataclasses.dataclass(frozen=True)
+class ConverterAssets:
+    """Everything convert needs besides the checkpoint (host-side)."""
+
+    xmin: np.ndarray          # [513] Tanhize stats
+    xmax: np.ndarray
+    f0_mu: np.ndarray         # [n_speakers] voiced log-f0 means
+    f0_sigma: np.ndarray      # [n_speakers]
+    speakers: list[str]
+
+
+def _normalize_sp(sp, xmin, xmax):
+    """energy-normalize + log10 + Tanhize.forward, on device."""
+    en = jnp.sum(sp + EPSILON, axis=-1, keepdims=True)
+    log_sp = jnp.log10((sp + EPSILON) / en)
+    span = jnp.maximum(xmax - xmin, 1e-6)
+    u = jnp.clip((log_sp - xmin) / span, 0.0, 1.0) * 2.0 - 1.0
+    return u, en
+
+
+def _denormalize_sp(u, en, xmin, xmax):
+    span = jnp.maximum(xmax - xmin, 1e-6)
+    log_sp = (u + 1.0) * 0.5 * span + xmin
+    return jnp.power(10.0, log_sp) * en
+
+
+def make_convert_fn(model, cfg: WorldConfig = DEFAULT_WORLD,
+                    sample_z: bool = False):
+    """Build the single-graph converter.
+
+    Returns fn(params, x [T], y_trg int, stats dict, seed) -> y_wav [T'].
+    Static over T (pad utterances to buckets); everything else is traced.
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def convert(params, x, y_trg, xmin, xmax, mu_src, sd_src, mu_trg,
+                sd_trg, seed):
+        x = x.astype(jnp.float32)
+        n_frames = x.shape[0] // cfg.hop + 1
+        centers = jnp.arange(n_frames, dtype=jnp.int32) * cfg.hop
+        # --- analysis (SURVEY.md SS3.1) ---
+        f0_c = dio(x, fs=cfg.fs, hop=cfg.hop, f0_floor=cfg.f0_floor,
+                   f0_ceil=cfg.f0_ceil)
+        f0 = stonemask(x, f0_c, centers, fs=cfg.fs)
+        sp = cheaptrick(x, f0, centers, fs=cfg.fs, fft_size=cfg.fft_size)
+        ap = d4c(x, f0, centers, fs=cfg.fs, fft_size=cfg.fft_size)
+        # --- spectral conversion (SURVEY.md SS3.3) ---
+        u, en = _normalize_sp(sp, xmin, xmax)
+        z_mu, z_lv = model.apply(params, u, method=type(model).encode)
+        if sample_z:
+            eps = jax.random.normal(jax.random.PRNGKey(seed), z_mu.shape)
+            z = z_mu + eps * jnp.exp(0.5 * z_lv)
+        else:
+            z = z_mu
+        y_vec = jnp.full((u.shape[0],), y_trg, jnp.int32)
+        u_conv = model.apply(params, z, y_vec, method=type(model).decode)
+        sp_conv = _denormalize_sp(u_conv, en, xmin, xmax)
+        # --- prosody + synthesis ---
+        f0_conv = convert_f0(f0, mu_src, sd_src, mu_trg, sd_trg)
+        return synthesize(f0_conv, sp_conv, ap, fs=cfg.fs, hop=cfg.hop,
+                          fft_size=cfg.fft_size, seed=seed)
+
+    return convert
+
+
+class Converter:
+    """Host-facing conversion API (reference convert.py main loop)."""
+
+    def __init__(self, model, params, assets: ConverterAssets,
+                 cfg: WorldConfig = DEFAULT_WORLD, bucket_s: float = 1.0):
+        self.model = model
+        self.params = params
+        self.assets = assets
+        self.cfg = cfg
+        self.bucket = int(bucket_s * cfg.fs)
+        self._fn = make_convert_fn(model, cfg)
+
+    def _pad(self, x: np.ndarray) -> np.ndarray:
+        n = max(1, -(-len(x) // self.bucket))
+        return np.pad(x, (0, n * self.bucket - len(x)))
+
+    def convert(self, x: np.ndarray, src: str, trg: str,
+                seed: int = 0) -> np.ndarray:
+        a = self.assets
+        si = a.speakers.index(src)
+        ti = a.speakers.index(trg)
+        xp = self._pad(np.asarray(x, np.float32))
+        y = self._fn(self.params, jnp.asarray(xp), jnp.int32(ti),
+                     jnp.asarray(a.xmin), jnp.asarray(a.xmax),
+                     jnp.float32(a.f0_mu[si]), jnp.float32(a.f0_sigma[si]),
+                     jnp.float32(a.f0_mu[ti]), jnp.float32(a.f0_sigma[ti]),
+                     jnp.int32(seed))
+        return np.asarray(y)[: len(x)]

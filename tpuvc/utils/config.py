@@ -113,6 +113,16 @@ class Architecture:
         with open(path) as f:
             return Architecture.from_json(json.load(f))
 
+    def to_json(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        for net in ("encoder", "generator", "discriminator"):
+            d[net] = {k: list(v) for k, v in d[net].items()}
+        return d
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f, indent=2)
+
 
 def load_architecture(path: str) -> Architecture:
     return Architecture.load(path)
