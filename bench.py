@@ -1,0 +1,86 @@
+"""Benchmark: end-to-end conversion throughput on the attached chip.
+
+Measures the north-star metric (BASELINE.json): seconds of audio converted
+per wall-clock second per chip through the FULL single-graph pipeline —
+WORLD-style analysis (DIO + StoneMask + CheapTrick + D4C), VAE encode,
+speaker-swap decode, f0 transform, minimum-phase synthesis — batched over
+utterances.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "x realtime", "vs_baseline": N}
+vs_baseline is value / 1000 (the BASELINE.json target of 1000x realtime).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.convert.pipeline import make_batch_convert_fn
+    from tpuvc.dsp.constants import DEFAULT_WORLD
+    from tpuvc.models.vae import VAWGAN, init_params
+    from tpuvc.utils.config import Architecture
+
+    cfg = DEFAULT_WORLD
+    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 8
+    dur_s = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    t_samples = int(dur_s * cfg.fs)
+
+    arch = Architecture()
+    model = VAWGAN(arch=arch)
+    params = init_params(model, arch, jax.random.PRNGKey(0))
+    convert = make_batch_convert_fn(model, cfg)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(t_samples) / cfg.fs
+    xs = np.stack([
+        (0.3 * np.sin(2 * np.pi * (110 + 15 * i) * t)
+         + 0.1 * np.sin(2 * np.pi * 2 * (110 + 15 * i) * t)
+         + 0.01 * rng.standard_normal(t_samples)).astype(np.float32)
+        for i in range(batch)])
+    y_trgs = (np.arange(batch) % arch.y_dim).astype(np.int32)
+    xmin = np.full(cfg.sp_dim, -10.0, np.float32)
+    xmax = np.full(cfg.sp_dim, 1.0, np.float32)
+    mu = np.full(batch, 5.0, np.float32)
+    sd = np.ones(batch, np.float32)
+    seeds = np.arange(batch, dtype=np.int32)
+
+    args = (params, jnp.asarray(xs), jnp.asarray(y_trgs),
+            jnp.asarray(xmin), jnp.asarray(xmax), jnp.asarray(mu),
+            jnp.asarray(sd), jnp.asarray(mu + 0.3), jnp.asarray(sd),
+            jnp.asarray(seeds))
+
+    # warmup + compile; sync via host transfer (block_until_ready is not a
+    # reliable fence on the experimental axon platform)
+    np.asarray(convert(*args))
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = convert(*args)
+        np.asarray(out)  # D2H of batch*T floats: negligible vs compute
+        best = min(best, time.perf_counter() - t0)
+
+    audio_seconds = batch * dur_s
+    value = audio_seconds / best
+    print(json.dumps({
+        "metric": "end-to-end conversion throughput "
+                  "(analysis+VAE+synthesis, single chip)",
+        "value": round(value, 2),
+        "unit": "x realtime (s audio / s wall)",
+        "vs_baseline": round(value / 1000.0, 4),
+        "batch": batch,
+        "utterance_s": dur_s,
+        "wall_s": round(best, 4),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

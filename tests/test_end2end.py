@@ -101,6 +101,53 @@ def test_convert_cli_produces_target_speaker_audio(corpus, trained):
         f"converted f0 median {med:.0f} Hz not nearer target")
 
 
+def test_all_pairs_conversion_single_device_call(corpus, trained):
+    """BASELINE config 4: every (src, trg) pair batched through one vmapped
+    device graph."""
+    outs = cli_convert.main([
+        "--all_pairs", "--checkpoint", trained, "--corpus", corpus])
+    # 4 speakers x 1 test utt x 3 targets
+    assert len(outs) == 12
+    names = {os.path.basename(o) for o in outs}
+    assert "SA-to-SB-100001.wav" in names
+    for o in outs[:3]:
+        y, fs = read_wav(o)
+        assert np.isfinite(y).all() and np.std(y) > 1e-4
+
+
+def test_vawgan_end2end(corpus, tmp_path_factory):
+    """BASELINE config 3: VAWGAN joint training runs and converts."""
+    logdir = str(tmp_path_factory.mktemp("logdir-gan"))
+    arch_path = os.path.join(logdir, "arch.json")
+    with open(arch_path, "w") as f:
+        json.dump({
+            "model": "VAWGAN", "trainer": "VAWGANTrainer",
+            "z_dim": 32, "y_dim": 4, "y_emb_dim": 16,
+            "encoder": {"kernel": [7, 7, 7], "stride": [3, 3, 3],
+                        "output": [16, 32, 64]},
+            "generator": {"kernel": [7, 7, 7], "stride": [3, 3, 3],
+                          "output": [32, 16, 1]},
+            "discriminator": {"kernel": [7, 7], "stride": [3, 3],
+                              "output": [16, 32]},
+            "training": {"batch_size": 32, "lr": 1e-3, "n_unroll": 2,
+                         "alpha": 1.0, "lambda": 10.0,
+                         "summary_freq": 20, "save_freq": 1000},
+        }, f)
+    run_dir = cli_train.main([
+        "--architecture", arch_path, "--corpus", corpus,
+        "--logdir", logdir, "--steps", "40", "--no-tensorboard"])
+    lines = [json.loads(l) for l in open(
+        os.path.join(run_dir, "events", "metrics.jsonl"))]
+    last = lines[-1]
+    for k in ("D_KL", "logP", "W_dist", "l_G", "l_D"):
+        assert k in last and np.isfinite(last[k]), (k, last)
+    outs = cli_convert.main([
+        "--src", "SC", "--trg", "SD", "--checkpoint", run_dir,
+        "--corpus", corpus])
+    y, _ = read_wav(outs[0])
+    assert np.isfinite(y).all() and np.std(y) > 1e-4
+
+
 def test_convert_rejects_unknown_speaker(corpus, trained):
     with pytest.raises(FileNotFoundError):
         cli_convert.main([

@@ -56,8 +56,12 @@ def load_converter(checkpoint_dir: str, corpus_root: str):
 
 def main(argv: list[str] | None = None) -> list[str]:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--src", required=True)
-    p.add_argument("--trg", required=True)
+    p.add_argument("--src", default=None)
+    p.add_argument("--trg", default=None)
+    p.add_argument("--all_pairs", action="store_true",
+                   help="convert every source speaker's utterances to every "
+                        "other speaker in batched device calls (BASELINE "
+                        "config 4); ignores --src/--trg")
     p.add_argument("--checkpoint", required=True,
                    help="training run directory (logdir/train/<ts>)")
     p.add_argument("--corpus", required=True)
@@ -76,13 +80,43 @@ def main(argv: list[str] | None = None) -> list[str]:
     converter, step = load_converter(args.checkpoint, args.corpus)
     split = (corpus_io.TEST_SPLIT if args.split == "test"
              else corpus_io.TRAIN_SPLIT)
+    out_dir = args.output or os.path.join(args.checkpoint, "converted")
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.all_pairs:
+        speakers = converter.assets.speakers
+        xs, srcs, trgs, names = [], [], [], []
+        for src in speakers:
+            for w in corpus_io.list_wavs(args.corpus, split, src):
+                if not fnmatch.fnmatch(os.path.basename(w),
+                                       args.file_pattern):
+                    continue
+                x, fs = read_wav(w)
+                utt = os.path.splitext(os.path.basename(w))[0]
+                for trg in speakers:
+                    if trg == src:
+                        continue
+                    xs.append(x)
+                    srcs.append(src)
+                    trgs.append(trg)
+                    names.append(f"{src}-to-{trg}-{utt}.wav")
+        outputs = []
+        ys = converter.convert_batch(xs, srcs, trgs, seed=args.seed)
+        for name, y in zip(names, ys):
+            out = os.path.join(out_dir, name)
+            write_wav(out, y, 16000)
+            outputs.append(out)
+        print(f"[convert] step{step} all-pairs: {len(outputs)} conversions "
+              f"({len(set(srcs))} speakers) -> {out_dir}")
+        return outputs
+
+    if not args.src or not args.trg:
+        p.error("--src and --trg are required unless --all_pairs is set")
     wavs = [w for w in corpus_io.list_wavs(args.corpus, split, args.src)
             if fnmatch.fnmatch(os.path.basename(w), args.file_pattern)]
     if not wavs:
         raise FileNotFoundError(
             f"no wavs for speaker {args.src} in split {split!r}")
-    out_dir = args.output or os.path.join(args.checkpoint, "converted")
-    os.makedirs(out_dir, exist_ok=True)
     outputs = []
     for w in wavs:
         x, fs = read_wav(w)

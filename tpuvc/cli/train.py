@@ -36,9 +36,18 @@ def main(argv: list[str] | None = None) -> str:
                         "frames-per-epoch / batch)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-tensorboard", action="store_true")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="fail fast on NaNs inside jit (SURVEY.md SS5.2)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the run into the "
+                        "run dir (TensorBoard profile plugin)")
     add_platform_flag(p)
     args = p.parse_args(argv)
     apply_platform(args)
+
+    if args.debug_nans:
+        from tpuvc.utils.profiling import enable_debug_checks
+        enable_debug_checks()
 
     from tpuvc.data.dataset import FrameDataset
     from tpuvc.train.trainer import make_trainer
@@ -73,8 +82,10 @@ def main(argv: list[str] | None = None) -> str:
                            use_tensorboard=not args.no_tensorboard)
     print(f"[train] {arch.model}/{arch.trainer} run_dir={run_dir} "
           f"frames={len(ds)} steps={steps}")
-    metrics = trainer.train(
-        ds.batches(t.batch_size, seed=args.seed, normalizer=norm), steps)
+    from tpuvc.utils.profiling import trace
+    with trace(os.path.join(run_dir, "profile") if args.profile else None):
+        metrics = trainer.train(
+            ds.batches(t.batch_size, seed=args.seed, normalizer=norm), steps)
     trainer.close()
     print(f"[train] final metrics: "
           f"{ {k: round(v, 4) for k, v in metrics.items()} }")

@@ -93,6 +93,22 @@ def make_convert_fn(model, cfg: WorldConfig = DEFAULT_WORLD,
     return convert
 
 
+def make_batch_convert_fn(model, cfg: WorldConfig = DEFAULT_WORLD):
+    """vmapped single-graph converter over [B, T] utterances with per-
+    utterance target speakers and f0 statistics (BASELINE config 4:
+    all-pairs many-to-many conversion is one device call)."""
+    single = make_convert_fn(model, cfg)
+
+    def batch(params, xs, y_trgs, xmin, xmax, mu_srcs, sd_srcs, mu_trgs,
+              sd_trgs, seeds):
+        return jax.vmap(
+            lambda x, y, ms, ss, mt, st, sd: single(
+                params, x, y, xmin, xmax, ms, ss, mt, st, sd)
+        )(xs, y_trgs, mu_srcs, sd_srcs, mu_trgs, sd_trgs, seeds)
+
+    return jax.jit(batch)
+
+
 class Converter:
     """Host-facing conversion API (reference convert.py main loop)."""
 
@@ -108,6 +124,34 @@ class Converter:
     def _pad(self, x: np.ndarray) -> np.ndarray:
         n = max(1, -(-len(x) // self.bucket))
         return np.pad(x, (0, n * self.bucket - len(x)))
+
+    def convert_batch(self, xs: list[np.ndarray], srcs: list[str],
+                      trgs: list[str], seed: int = 0) -> list[np.ndarray]:
+        """Convert many utterances in ONE device call (vmapped graph).
+
+        Utterances are padded to the largest common bucket; per-utterance
+        source/target speakers may differ (all-pairs many-to-many,
+        BASELINE config 4).
+        """
+        if not hasattr(self, "_batch_fn"):
+            self._batch_fn = make_batch_convert_fn(self.model, self.cfg)
+        a = self.assets
+        lens = [len(x) for x in xs]
+        t_pad = max(1, -(-max(lens) // self.bucket)) * self.bucket
+        xp = np.stack([np.pad(np.asarray(x, np.float32),
+                              (0, t_pad - len(x))) for x in xs])
+        si = np.array([a.speakers.index(s) for s in srcs], np.int32)
+        ti = np.array([a.speakers.index(t) for t in trgs], np.int32)
+        seeds = seed + np.arange(len(xs), dtype=np.int32)
+        y = self._batch_fn(self.params, jnp.asarray(xp), jnp.asarray(ti),
+                           jnp.asarray(a.xmin), jnp.asarray(a.xmax),
+                           jnp.asarray(a.f0_mu[si]),
+                           jnp.asarray(a.f0_sigma[si]),
+                           jnp.asarray(a.f0_mu[ti]),
+                           jnp.asarray(a.f0_sigma[ti]),
+                           jnp.asarray(seeds))
+        y = np.asarray(y)
+        return [y[i, :lens[i]] for i in range(len(xs))]
 
     def convert(self, x: np.ndarray, src: str, trg: str,
                 seed: int = 0) -> np.ndarray:

@@ -51,6 +51,19 @@ class _BaseTrainer:
         return mesh_lib.shard_batch(self.mesh, *arrays,
                                     batch_axis=batch_axis)
 
+    def _log_spectrograms(self, step: int, x, y) -> None:
+        """Real vs reconstructed frames as images (reference util/image.py
+        tf.summary.image thumbnails)."""
+        try:
+            out = self.model.apply(self.state.params, x[:64], y[:64],
+                                   jax.random.PRNGKey(0))
+            self.writer.spectrogram(step, "x_real",
+                                    np.asarray(x[:64]), log_input=False)
+            self.writer.spectrogram(step, "x_recon",
+                                    np.asarray(out["xh"]), log_input=False)
+        except Exception:
+            pass  # summaries must never take down training
+
     def close(self):
         self.ckpt.wait()
         self.writer.close()
@@ -80,6 +93,7 @@ class VAETrainer(_BaseTrainer):
             if (step + 1) % log_every == 0 or step + 1 == total_steps:
                 metrics = {k: float(v) for k, v in m.items()}
                 self.writer.scalars(step + 1, metrics)
+                self._log_spectrograms(step + 1, x, y)
             if (step + 1) % save_every == 0 or step + 1 == total_steps:
                 self.ckpt.save(step + 1, jax.device_get(self.state))
         self.ckpt.wait()
@@ -121,6 +135,7 @@ class VAWGANTrainer(_BaseTrainer):
             if (step + 1) % log_every == 0 or step + 1 == total_steps:
                 metrics = {k: float(v) for k, v in m.items()}
                 self.writer.scalars(step + 1, metrics)
+                self._log_spectrograms(step + 1, x_gen, y_gen)
             if (step + 1) % save_every == 0 or step + 1 == total_steps:
                 self.ckpt.save(step + 1, jax.device_get(self.state))
         self.ckpt.wait()

@@ -1,0 +1,45 @@
+"""Tracing / profiling hooks (SURVEY.md SS5.1-5.2).
+
+The reference has no profiler beyond tf.summary scalars; the TPU build
+wires jax.profiler so any run can produce a TensorBoard profile, plus a
+debug mode that makes NaNs fail loudly inside jit.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str | None):
+    """Capture a jax.profiler trace into logdir/plugins/profile (viewable in
+    TensorBoard's profile plugin).  No-op when logdir is None."""
+    if logdir is None:
+        yield
+        return
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def enable_debug_checks() -> None:
+    """Fail fast on NaNs produced inside jit-compiled code."""
+    jax.config.update("jax_debug_nans", True)
+
+
+@contextlib.contextmanager
+def wall_timer():
+    """Times a block with device-sync semantics: call .seconds after."""
+    class T:
+        seconds = 0.0
+    t = T()
+    t0 = time.perf_counter()
+    try:
+        yield t
+    finally:
+        t.seconds = time.perf_counter() - t0
