@@ -37,10 +37,15 @@ class FrameDataset:
         if not paths:
             raise FileNotFoundError(
                 f"no .bin records under {corpus_root}/bin/{split}")
+        from tpuvc import native
         xs, ys = [], []
         for p in paths:
-            raw = (np.memmap(p, dtype=np.float32, mode="r") if mmap
-                   else np.fromfile(p, dtype=np.float32))
+            if mmap:
+                raw = np.memmap(p, dtype=np.float32, mode="r")
+            else:
+                raw = native.read_f32_native(p)
+                if raw is None:
+                    raw = np.fromfile(p, dtype=np.float32)
             rec = raw.reshape(-1, RECORD_DIM)
             xs.append(np.asarray(rec[:, :SP_DIM], np.float32))
             ys.append(np.asarray(rec[:, FEAT_DIM], np.int32))
@@ -57,6 +62,7 @@ class FrameDataset:
                 drop_remainder: bool = True) -> Iterator[tuple[np.ndarray,
                                                                np.ndarray]]:
         """Infinite epoch-shuffled minibatch stream."""
+        from tpuvc import native
         rng = np.random.default_rng(seed)
         n = len(self)
         x = self.x if normalizer is None else normalizer.forward(
@@ -66,4 +72,4 @@ class FrameDataset:
             end = n - n % batch_size if drop_remainder else n
             for i in range(0, end, batch_size):
                 idx = perm[i:i + batch_size]
-                yield x[idx], self.y[idx]
+                yield native.gather_rows(x, idx), self.y[idx]

@@ -21,7 +21,15 @@ _PCM_SCALE = {
 
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read a WAV file -> (float64 mono waveform in [-1, 1], sample_rate)."""
+    """Read a WAV file -> (float64 mono waveform in [-1, 1], sample_rate).
+
+    Uses the native C++ PCM16 decoder (tpuvc.native) when available,
+    falling back to scipy's RIFF reader for other encodings.
+    """
+    from tpuvc import native
+    fast = native.read_wav_native(path)
+    if fast is not None:
+        return fast[0].astype(np.float64), fast[1]
     fs, data = _wavfile.read(path)
     if data.ndim > 1:
         data = data.mean(axis=1)
