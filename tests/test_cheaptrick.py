@@ -73,19 +73,21 @@ def test_unvoiced_frames_use_default_f0_and_stay_finite():
     assert mid.max() - mid[8:].min() < 40.0
 
 
-def test_frame_batching_matches_single_frame():
-    """Batched envelope == envelope computed frame-by-frame (same graph)."""
+def test_envelope_is_time_shift_consistent():
+    """Shifting the signal by whole hops shifts the envelope by whole
+    frames (batched framing is position-independent)."""
     cfg = DEFAULT_WORLD
     f0 = 150.0
     x = make_harmonic(f0, fs=cfg.fs, dur_s=0.3, n_harm=6)
     n_frames = cfg.num_frames(len(x))
     f0_track = np.full(n_frames, f0, np.float32)
     sp_all = np.asarray(cheaptrick_config(x, f0_track, cfg))
-    # recompute a middle frame alone with its true center
-    from tpuvc.dsp.cheaptrick import cheaptrick
+    shift = 8  # frames
+    x2 = x[shift * cfg.hop:]
+    n2 = cfg.num_frames(len(x2))
+    sp_shift = np.asarray(cheaptrick_config(
+        x2, np.full(n2, f0, np.float32), cfg))
     i = n_frames // 2
-    sp_one = np.asarray(cheaptrick(
-        x, f0_track[i:i + 1],
-        np.array([i * cfg.hop], np.int32), fs=cfg.fs, fft_size=cfg.fft_size))
-    # compare in dB: float32 batched-vs-single FFT noise stays << 0.1 dB
-    np.testing.assert_allclose(_db(sp_all[i]), _db(sp_one[0]), atol=0.1)
+    # frame i of x == frame i-shift of x2 (same samples, same window)
+    np.testing.assert_allclose(_db(sp_all[i]), _db(sp_shift[i - shift]),
+                               atol=0.1)

@@ -1,0 +1,64 @@
+"""Evaluation CLI: analysis/synthesis round-trip MCD on a corpus.
+
+  python -m tpuvc.cli.evaluate --corpus dataset/vcc2016 [--split test]
+
+For every utterance: analyze -> synthesize -> re-analyze, and report the
+mel-cepstral distortion between the original and round-trip spectral
+envelopes.  This is the in-framework quality gauge for the BASELINE
+MCD-parity target (the TF reference itself is not runnable in this
+environment; round-trip MCD bounds the vocoder's own distortion floor).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from tpuvc.cli.common import add_platform_flag, apply_platform
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--split", default="test", choices=["train", "test"])
+    p.add_argument("--speaker", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    add_platform_flag(p)
+    args = p.parse_args(argv)
+    apply_platform(args)
+
+    from tpuvc.data.analyze_corpus import analyze_utterance
+    from tpuvc.dsp.constants import DEFAULT_WORLD
+    from tpuvc.dsp.synthesis import synthesize_config
+    from tpuvc.io import corpus as corpus_io
+    from tpuvc.io.wav import read_wav
+    from tpuvc.utils.metrics import mcd
+
+    cfg = DEFAULT_WORLD
+    split = (corpus_io.TEST_SPLIT if args.split == "test"
+             else corpus_io.TRAIN_SPLIT)
+    wavs = corpus_io.list_wavs(args.corpus, split, args.speaker)
+    if args.limit:
+        wavs = wavs[: args.limit]
+    if not wavs:
+        raise FileNotFoundError(f"no wavs in {args.corpus} split {split!r}")
+    scores = []
+    for w in wavs:
+        x, fs = read_wav(w)
+        f0, sp, ap = analyze_utterance(x, cfg)
+        y = np.asarray(synthesize_config(f0, sp, ap, cfg))[: len(x)]
+        f0b, spb, apb = analyze_utterance(y, cfg)
+        n = min(len(sp), len(spb))
+        scores.append(mcd(sp[:n], spb[:n], cfg.fs))
+    result = {"metric": "round-trip MCD", "unit": "dB",
+              "mean": round(float(np.mean(scores)), 3),
+              "max": round(float(np.max(scores)), 3),
+              "n_utterances": len(scores)}
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

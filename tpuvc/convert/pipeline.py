@@ -66,14 +66,13 @@ def make_convert_fn(model, cfg: WorldConfig = DEFAULT_WORLD,
     def convert(params, x, y_trg, xmin, xmax, mu_src, sd_src, mu_trg,
                 sd_trg, seed):
         x = x.astype(jnp.float32)
-        n_frames = x.shape[0] // cfg.hop + 1
-        centers = jnp.arange(n_frames, dtype=jnp.int32) * cfg.hop
         # --- analysis (SURVEY.md SS3.1) ---
         f0_c = dio(x, fs=cfg.fs, hop=cfg.hop, f0_floor=cfg.f0_floor,
                    f0_ceil=cfg.f0_ceil)
-        f0 = stonemask(x, f0_c, centers, fs=cfg.fs)
-        sp = cheaptrick(x, f0, centers, fs=cfg.fs, fft_size=cfg.fft_size)
-        ap = d4c(x, f0, centers, fs=cfg.fs, fft_size=cfg.fft_size)
+        f0 = stonemask(x, f0_c, hop=cfg.hop, fs=cfg.fs)
+        sp = cheaptrick(x, f0, hop=cfg.hop, fs=cfg.fs,
+                        fft_size=cfg.fft_size)
+        ap = d4c(x, f0, hop=cfg.hop, fs=cfg.fs, fft_size=cfg.fft_size)
         # --- spectral conversion (SURVEY.md SS3.3) ---
         u, en = _normalize_sp(sp, xmin, xmax)
         z_mu, z_lv = model.apply(params, u, method=type(model).encode)

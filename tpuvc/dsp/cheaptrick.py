@@ -32,23 +32,24 @@ import jax.numpy as jnp
 from tpuvc.dsp.constants import (CHEAPTRICK_DEFAULT_F0, CHEAPTRICK_Q1,
                                  SAFE_GUARD_MINIMUM, DEFAULT_WORLD, WorldConfig)
 from tpuvc.dsp.interp import interp_uniform
+from tpuvc.ops.framing import frame_signal
 
 
-def _windowed_frames(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
+def _windowed_frames(x: jnp.ndarray, f0: jnp.ndarray, hop: int,
                      fs: int, fft_size: int) -> jnp.ndarray:
     """Pitch-adaptive windowed segments for all frames at once.
 
-    x: [T]; f0: [N] (effective, >0); centers: [N] int sample index of each
-    frame center.  Returns ([N, fft_size] windowed, weighted-mean-removed
-    segments, [N, 1] window power sum(w^2)); window support is 3/f0 seconds,
-    centered, zero elsewhere.
+    x: [T]; f0: [N] (effective, >0); frame i is centered at sample i*hop.
+    Returns ([N, fft_size] windowed, weighted-mean-removed segments,
+    [N, 1] window power sum(w^2)); window support is 3/f0 seconds,
+    centered, zero elsewhere.  Frames come from gather-free shifted-slice
+    framing (ops/framing.py) — the TPU-fast formulation.
     """
     n_frames = f0.shape[0]
     base = jnp.arange(fft_size, dtype=jnp.int32) - fft_size // 2  # [-W/2, W/2)
     half_len = jnp.rint(1.5 * fs / f0).astype(jnp.int32)          # [N]
     mask = (jnp.abs(base)[None, :] <= half_len[:, None])          # [N, W]
-    idx = jnp.clip(centers[:, None] + base[None, :], 0, x.shape[0] - 1)
-    seg = x[idx]                                                   # [N, W]
+    seg = frame_signal(x, hop, fft_size, n_frames)                 # [N, W]
     t = base.astype(x.dtype) / fs                                  # [W] seconds
     # Hanning over +-1.5 periods: w(t) = 0.5 + 0.5 cos(pi t f0 / 1.5)
     win = (0.5 + 0.5 * jnp.cos(jnp.pi * t[None, :] * f0[:, None] / 1.5))
@@ -81,29 +82,24 @@ def _linear_smoothing(ps: jnp.ndarray, width: jnp.ndarray, fs: int,
     """Moving-average smoothing of the power spectrum with per-frame width.
 
     smoothed(f) = (1/w) * integral_{f-w/2}^{f+w/2} ps(l) dl, with even
-    reflection at DC and Nyquist.  Computed by direct trapezoid quadrature of
-    the (linearly interpolated) spectrum at M+1 local sample points per bin.
-    A cumulative-sum formulation (what WORLD uses, in float64) catastrophically
-    cancels in float32 at low-energy bins; local quadrature keeps every
-    partial sum at the magnitude of the local spectrum and is a dense batched
-    gather+reduce, which XLA maps well to the VPU.
+    reflection at DC and Nyquist.  Computed in the quefrency domain: the
+    even periodic extension of ps IS the mirror boundary condition, and
+    box convolution becomes a per-frame sinc(pi w tau) multiply between one
+    batched rfft/irfft pair — gather-free (the TPU-fast formulation; a
+    sample-and-average quadrature was ~25x slower on v5e) and free of the
+    float32 cumulative-sum cancellation WORLD's float64 rectangle rule
+    would hit here.  The band-limited box can undershoot in deep valleys
+    (Gibbs), so the result is floored at 1e-9 of the frame peak.
     """
     half = fft_size // 2 + 1
-    df = fs / fft_size
-    m = 32  # quadrature intervals; spacing w/32 < df for all f0 <= fs * 48/fft
-    b = half - 1  # even-reflection margin at DC and Nyquist
-    left = ps[..., 1:b + 1][..., ::-1]
-    right = ps[..., half - 1 - b:half - 1][..., ::-1]
-    ext = jnp.concatenate([left, ps, right], axis=-1)        # [N, half+2b-1]
-    k = jnp.arange(half, dtype=ps.dtype)
-    j = jnp.arange(m + 1, dtype=ps.dtype)                    # [m+1]
-    # sample positions (grid units of the extended spectrum, origin -b*df)
-    pos = (k[None, :, None] * df
-           + width[:, None, None] * (j[None, None, :] / m - 0.5)) / df + b
-    samples = interp_uniform(ext[:, None, :], pos)           # [N, half, m+1]
-    w_trap = jnp.full((m + 1,), 1.0 / m, ps.dtype)
-    w_trap = w_trap.at[0].set(0.5 / m).at[-1].set(0.5 / m)
-    return jnp.einsum("nkm,m->nk", samples, w_trap)
+    ext = jnp.concatenate([ps, ps[..., -2:0:-1]], axis=-1)   # even, len 1024
+    c = jnp.fft.rfft(ext, axis=-1)                           # [N, half]
+    tau = jnp.arange(half, dtype=ps.dtype) / fs              # quefrency grid
+    arg = jnp.pi * width[:, None] * tau[None, :]
+    m = jnp.where(arg > 1e-9, jnp.sin(arg) / jnp.maximum(arg, 1e-9), 1.0)
+    sm = jnp.fft.irfft(c * m, n=fft_size, axis=-1)[..., :half]
+    floor = jnp.max(sm, axis=-1, keepdims=True) * 1e-9
+    return jnp.maximum(sm, floor)
 
 
 def _lifter(log_ps_half: jnp.ndarray, f0: jnp.ndarray, fs: int,
@@ -128,8 +124,10 @@ def _lifter(log_ps_half: jnp.ndarray, f0: jnp.ndarray, fs: int,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "fft_size", "f0_floor"))
-def cheaptrick(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("hop", "fs", "fft_size",
+                                             "f0_floor"))
+def cheaptrick(x: jnp.ndarray, f0: jnp.ndarray,
+               hop: int = DEFAULT_WORLD.hop,
                fs: int = DEFAULT_WORLD.fs,
                fft_size: int = DEFAULT_WORLD.fft_size,
                f0_floor: float = DEFAULT_WORLD.f0_floor) -> jnp.ndarray:
@@ -138,9 +136,9 @@ def cheaptrick(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
     Args:
       x: [T] waveform (any float dtype; computed in float32).
       f0: [N] f0 in Hz; frames with f0 below the FFT's low limit (including
-        unvoiced f0=0) use the WORLD default envelope f0 of 500 Hz.
-      centers: [N] int32 frame-center sample indices (i * hop).
-      fs, fft_size: static geometry.
+        unvoiced f0=0) use the WORLD default envelope f0 of 500 Hz.  Frame i
+        is centered at sample i*hop.
+      hop, fs, fft_size: static geometry.
 
     Returns: [N, fft_size//2 + 1] power spectral envelope (pyworld `sp`
     convention).
@@ -152,7 +150,7 @@ def cheaptrick(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
     f0_eff = jnp.where(f0 <= f0_low_limit,
                        jnp.float32(CHEAPTRICK_DEFAULT_F0), f0)
 
-    seg, win_power = _windowed_frames(x, f0_eff, centers, fs, fft_size)
+    seg, win_power = _windowed_frames(x, f0_eff, hop, fs, fft_size)
     spec = jnp.fft.rfft(seg, n=fft_size, axis=-1)
     # normalize by the window power so sp is a per-sample PSD: a stationary
     # input with PSD S yields sp = S, making synthesis (which treats sp as
@@ -171,7 +169,4 @@ def cheaptrick(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
 
 def cheaptrick_config(x: jnp.ndarray, f0: jnp.ndarray,
                       cfg: WorldConfig = DEFAULT_WORLD) -> jnp.ndarray:
-    """Convenience wrapper computing frame centers from the config hop."""
-    n = f0.shape[0]
-    centers = (jnp.arange(n, dtype=jnp.int32) * cfg.hop)
-    return cheaptrick(x, f0, centers, fs=cfg.fs, fft_size=cfg.fft_size)
+    return cheaptrick(x, f0, hop=cfg.hop, fs=cfg.fs, fft_size=cfg.fft_size)

@@ -28,22 +28,22 @@ from tpuvc.dsp.constants import (D4C_CEIL_DB, D4C_FLOOR_DB,
                                  D4C_FREQUENCY_INTERVAL, D4C_THRESHOLD,
                                  DEFAULT_WORLD, WorldConfig, d4c_num_bands)
 from tpuvc.dsp.interp import interp_uniform
+from tpuvc.ops.framing import frame_signal
 
 _FFT_SIZE = 2048  # covers 4 periods at f0_floor=71, fs=16k (901 samples)
 
 
 def _windowed_power_spectrum(x: jnp.ndarray, f0: jnp.ndarray,
-                             centers: jnp.ndarray, fs: int) -> jnp.ndarray:
+                             hop: int, fs: int) -> jnp.ndarray:
     """Hanning window over +-2 periods, batched -> power spectrum [N, K]."""
     half_len = jnp.rint(2.0 * fs / f0).astype(jnp.int32)
     w = _FFT_SIZE // 2
     base = jnp.arange(_FFT_SIZE, dtype=jnp.int32) - w
     mask = jnp.abs(base)[None, :] <= half_len[:, None]
-    idx = jnp.clip(centers[:, None] + base[None, :], 0, x.shape[0] - 1)
     t = base.astype(jnp.float32) / fs
     win = 0.5 + 0.5 * jnp.cos(jnp.pi * t[None, :] * f0[:, None] / 2.0)
     win = jnp.where(mask, win, 0.0)
-    seg = x[idx] * win
+    seg = frame_signal(x, hop, _FFT_SIZE, f0.shape[0]) * win
     seg = seg - jnp.mean(seg, axis=-1, keepdims=True)
     spec = jnp.fft.rfft(seg, n=_FFT_SIZE, axis=-1)
     return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
@@ -61,13 +61,13 @@ def _band_periodicity(ps: jnp.ndarray, f0: jnp.ndarray, fs: int,
     return jnp.clip(r, 0.0, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "fft_size"))
-def d4c(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("hop", "fs", "fft_size"))
+def d4c(x: jnp.ndarray, f0: jnp.ndarray, hop: int = DEFAULT_WORLD.hop,
         fs: int = DEFAULT_WORLD.fs,
         fft_size: int = DEFAULT_WORLD.fft_size) -> jnp.ndarray:
     """Aperiodicity (amplitude ratio in [0, 1]) per frame and spectral bin.
 
-    Args: x [T]; f0 [N] (0 = unvoiced); centers [N] int sample indices.
+    Args: x [T]; f0 [N] (0 = unvoiced); frame i is centered at i*hop.
     Returns [N, fft_size//2 + 1], pyworld `ap` convention.
     """
     x = x.astype(jnp.float32)
@@ -76,7 +76,7 @@ def d4c(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
     n_bands = d4c_num_bands(fs)
     f0_eff = jnp.where(f0 > 0, f0, 150.0)  # placeholder lag; masked below
 
-    ps = _windowed_power_spectrum(x, f0_eff, centers, fs)
+    ps = _windowed_power_spectrum(x, f0_eff, hop, fs)
 
     # LoveTrain-style voicing guard on the low band (up to 3 kHz): frames
     # whose low-band periodic fraction is too small are fully aperiodic
@@ -120,5 +120,4 @@ def d4c(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
 
 def d4c_config(x: jnp.ndarray, f0: jnp.ndarray,
                cfg: WorldConfig = DEFAULT_WORLD) -> jnp.ndarray:
-    centers = jnp.arange(f0.shape[0], dtype=jnp.int32) * cfg.hop
-    return d4c(x, f0, centers, fs=cfg.fs, fft_size=cfg.fft_size)
+    return d4c(x, f0, hop=cfg.hop, fs=cfg.fs, fft_size=cfg.fft_size)

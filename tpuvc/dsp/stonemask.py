@@ -27,11 +27,12 @@ import jax.numpy as jnp
 from tpuvc.dsp.constants import (DEFAULT_WORLD, STONEMASK_NUM_HARMONICS,
                                  STONEMASK_RELATIVE_LIMIT, WorldConfig)
 from tpuvc.dsp.interp import interp_uniform
+from tpuvc.ops.framing import frame_signal
 
 _FFT_SIZE = 2048  # covers 3 periods at f0_floor=71, fs=16k (679 samples)
 
 
-def _refine_once(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
+def _refine_once(x: jnp.ndarray, f0: jnp.ndarray, hop: int,
                  fs: int) -> jnp.ndarray:
     """One IF-refinement pass for all frames. f0 must be > 0 (masked later)."""
     f0s = jnp.maximum(f0, 1.0)
@@ -39,8 +40,7 @@ def _refine_once(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
     w = _FFT_SIZE // 2
     base = jnp.arange(_FFT_SIZE, dtype=jnp.int32) - w          # [-W/2, W/2)
     mask = jnp.abs(base)[None, :] <= half_len[:, None]
-    idx = jnp.clip(centers[:, None] + base[None, :], 0, x.shape[0] - 1)
-    seg = jnp.where(mask, x[idx], 0.0)
+    seg = jnp.where(mask, frame_signal(x, hop, _FFT_SIZE, f0.shape[0]), 0.0)
 
     t = base.astype(jnp.float32) / fs
     phase = 2.0 * jnp.pi * t[None, :] * f0s[:, None] / 3.0
@@ -69,14 +69,14 @@ def _refine_once(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
     return jnp.where(den > 0, num / jnp.maximum(den, 1e-12), f0)
 
 
-@functools.partial(jax.jit, static_argnames=("fs",))
-def stonemask(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("hop", "fs"))
+def stonemask(x: jnp.ndarray, f0: jnp.ndarray, hop: int = DEFAULT_WORLD.hop,
               fs: int = DEFAULT_WORLD.fs) -> jnp.ndarray:
-    """Refine a DIO f0 track. x: [T]; f0: [N]; centers: [N] sample indices."""
+    """Refine a DIO f0 track. x: [T]; f0: [N]; frame i centered at i*hop."""
     x = x.astype(jnp.float32)
     f0 = f0.astype(jnp.float32)
-    refined = _refine_once(x, f0, centers, fs)
-    refined = _refine_once(x, refined, centers, fs)
+    refined = _refine_once(x, f0, hop, fs)
+    refined = _refine_once(x, refined, hop, fs)
     rel = jnp.abs(refined - f0) / jnp.maximum(f0, 1e-6)
     good = (f0 > 0) & (rel <= STONEMASK_RELATIVE_LIMIT) & (refined > 0)
     return jnp.where(f0 > 0, jnp.where(good, refined, f0), 0.0)
@@ -84,5 +84,4 @@ def stonemask(x: jnp.ndarray, f0: jnp.ndarray, centers: jnp.ndarray,
 
 def stonemask_config(x: jnp.ndarray, f0: jnp.ndarray,
                      cfg: WorldConfig = DEFAULT_WORLD) -> jnp.ndarray:
-    centers = jnp.arange(f0.shape[0], dtype=jnp.int32) * cfg.hop
-    return stonemask(x, f0, centers, fs=cfg.fs)
+    return stonemask(x, f0, hop=cfg.hop, fs=cfg.fs)

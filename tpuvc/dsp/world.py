@@ -33,12 +33,10 @@ class WorldFeatures(NamedTuple):
                    static_argnames=("fs", "hop", "fft_size", "f0_floor",
                                     "f0_ceil"))
 def _analyze(x, fs, hop, fft_size, f0_floor, f0_ceil):
-    n_frames = x.shape[0] // hop + 1
-    centers = jnp.arange(n_frames, dtype=jnp.int32) * hop
     f0_coarse = dio(x, fs=fs, hop=hop, f0_floor=f0_floor, f0_ceil=f0_ceil)
-    f0 = stonemask(x, f0_coarse, centers, fs=fs)
-    sp = cheaptrick(x, f0, centers, fs=fs, fft_size=fft_size)
-    ap = d4c(x, f0, centers, fs=fs, fft_size=fft_size)
+    f0 = stonemask(x, f0_coarse, hop=hop, fs=fs)
+    sp = cheaptrick(x, f0, hop=hop, fs=fs, fft_size=fft_size)
+    ap = d4c(x, f0, hop=hop, fs=fs, fft_size=fft_size)
     return WorldFeatures(f0=f0, sp=sp, ap=ap)
 
 

