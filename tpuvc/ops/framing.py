@@ -29,7 +29,9 @@ def frame_signal(x: jnp.ndarray, hop: int, window: int,
     lpad = -(-half // hop) * hop         # multiple of hop covering half
     off = lpad - half                    # column offset, 0 <= off < hop
     need = (n_frames + k) * hop          # padded samples required
-    xp = jnp.pad(x, (lpad, max(0, need - lpad - x.shape[0])))
+    total = lpad + x.shape[0]
+    target = max(need, -(-total // hop) * hop)  # also a hop multiple
+    xp = jnp.pad(x, (lpad, target - total))
     rows = xp.reshape(-1, hop)
     cols = [rows[j: j + n_frames] for j in range(k)]
     wide = jnp.concatenate(cols, axis=-1)          # [n_frames, k*hop]
