@@ -34,7 +34,6 @@ from tpuvc.dsp import filters
 from tpuvc.dsp.constants import (DIO_ALLOWED_RANGE, DIO_CHANNELS_IN_OCTAVE,
                                  DIO_TARGET_FS, DIO_VOICE_RANGE_MINIMUM,
                                  DEFAULT_WORLD, WorldConfig)
-from tpuvc.dsp.interp import interp_sorted
 
 # relative four-estimator deviation above which a frame is unvoiced before
 # contour fixing (DIO folds this into candidate scoring; kept explicit here)
@@ -47,48 +46,39 @@ def _boundary_f0s(f0_floor: float, f0_ceil: float) -> tuple[float, ...]:
                  for i in range(n))
 
 
-def _compact_events(mask: jnp.ndarray, t: jnp.ndarray,
-                    max_e: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Order-preserving compaction of event times into a fixed-size array.
+def _channel_tracks(sig: jnp.ndarray, fs_d: float,
+                    frame_pos: jnp.ndarray) -> jnp.ndarray:
+    """Four event-interval f0 tracks for one filtered channel -> [4, N].
 
-    Returns (times [max_e] padded with +inf, count)."""
-    pos = jnp.cumsum(mask) - 1
-    idx = jnp.where(mask, jnp.minimum(pos, max_e - 1), max_e)
-    out = jnp.full((max_e + 1,), jnp.inf, t.dtype).at[idx].min(t)
-    return out[:max_e], jnp.sum(mask.astype(jnp.int32))
+    Scatter-free formulation: instead of compacting event times into a
+    dense list (scatter) and interpolating (searchsorted), each frame reads
+    the event bracketing it directly — prefix-cummax gives the last event
+    time at or before every sample, suffix-cummin the next one after, and
+    the frame's interval f0 is fs_d / (next - prev).  Piecewise-constant
+    per interval (WORLD linearly interpolates between interval midpoints;
+    the difference is below the 4-estimator deviation and is washed out by
+    StoneMask).  All ops are cumulative scans + tiny gathers — the TPU-fast
+    form (the scatter/searchsorted version dominated DIO's runtime).
 
-
-def _interval_f0_track(times: jnp.ndarray, count: jnp.ndarray,
-                       t_frames: jnp.ndarray) -> jnp.ndarray:
-    """Piecewise-linear interval-f0 track evaluated at frame times.
-
-    times: [E] event times (inf padded); interval k spans times[k]..times[k+1]
-    and contributes f0 = 1/interval at the interval midpoint.
+    frame_pos: [N] int sample positions of frames on the decimated grid.
     """
-    e = times.shape[0]
-    f0c_raw = 1.0 / jnp.maximum(times[1:] - times[:-1], 1e-12)
-    tm_raw = 0.5 * (times[1:] + times[:-1])
-    k = jnp.arange(e - 1)
-    last = jnp.maximum(count - 2, 0)          # index of last valid interval
-    kc = jnp.minimum(k, last)
-    f0c = f0c_raw[kc]                          # forward-fill the last value
-    tm = jnp.where(k <= last, tm_raw[kc],
-                   tm_raw[last] + (k - last) * 1e-3)  # keep xp increasing
-    val = interp_sorted(t_frames, tm, f0c)
-    return jnp.where(count >= 2, val, 0.0)
-
-
-def _channel_tracks(sig: jnp.ndarray, fs_d: float, t_frames: jnp.ndarray,
-                    max_e: int) -> jnp.ndarray:
-    """Four event-interval f0 tracks for one filtered channel -> [4, N]."""
     d = sig[1:] - sig[:-1]
 
-    def crossings(s, sign, t_offset):
+    def crossings(s, sign, offset):
         m = (sign * s[:-1] > 0) & (sign * s[1:] <= 0)
         frac = jnp.where(m, s[:-1] / jnp.where(m, s[:-1] - s[1:], 1.0), 0.0)
-        t = (jnp.arange(s.shape[0] - 1) + frac + t_offset) / fs_d
-        times, count = _compact_events(m, jnp.where(m, t, jnp.inf), max_e)
-        return _interval_f0_track(times, count, t_frames)
+        tpos = jnp.arange(s.shape[0] - 1, dtype=jnp.float32) + frac + offset
+        prev = jax.lax.cummax(jnp.where(m, tpos, -jnp.inf))
+        nxt = jax.lax.cummin(jnp.where(m, tpos, jnp.inf), reverse=True)
+        pf = jnp.clip(frame_pos, 0, s.shape[0] - 2)
+        # an event in cell n has time in [n, n+1): cells <= pf-1 are strictly
+        # before the frame, cells >= pf at-or-after — so index prev one cell
+        # back, else a frame sharing a cell with an event reads it as both
+        # neighbors (a == b -> spuriously invalid)
+        a = jnp.where(pf > 0, prev[jnp.maximum(pf - 1, 0)], -jnp.inf)
+        b = nxt[pf]
+        valid = jnp.isfinite(a) & jnp.isfinite(b) & (b > a)
+        return jnp.where(valid, fs_d / jnp.maximum(b - a, 1e-6), 0.0)
 
     return jnp.stack([
         crossings(sig, 1.0, 0.0),      # negative-going zero crossings
@@ -143,7 +133,6 @@ def dio(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
     """
     x = x.astype(jnp.float32)
     n_frames = x.shape[0] // hop + 1
-    t_frames = jnp.arange(n_frames, dtype=jnp.float32) * (hop / fs)
 
     ratio = max(1, min(12, int(fs / DIO_TARGET_FS)))
     fs_d = fs / ratio
@@ -153,9 +142,9 @@ def dio(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
     filtered = filters.lowpass_bank_fft(
         y, fs_d, _boundary_f0s(f0_floor, f0_ceil))           # [C, Td]
 
-    max_e = y.shape[0] // 2
+    frame_pos = (jnp.arange(n_frames) * hop) // ratio        # decimated grid
     tracks = jax.vmap(
-        lambda s: _channel_tracks(s, fs_d, t_frames, max_e))(filtered)
+        lambda s: _channel_tracks(s, fs_d, frame_pos))(filtered)
     # tracks: [C, 4, N]
     cand = jnp.mean(tracks, axis=1)                          # [C, N]
     dev = jnp.sqrt(jnp.sum((tracks - cand[:, None, :]) ** 2, axis=1) / 3.0)
