@@ -10,9 +10,9 @@ one XLA program:
   2. a bank of Nuttall low-pass filters, one per log-spaced channel between
      f0_floor and f0_ceil (2 channels/octave), applied as one batched FFT
   3. per channel, four event-interval estimators (negative/positive-going
-     zero crossings, peaks, dips); event times are compacted into fixed-size
-     arrays with masked scatters and interval f0 tracks are interpolated to
-     frame times
+     zero crossings, peaks, dips); each frame reads its bracketing event
+     times from prefix/suffix cumulative scans (scatter-free, see
+     _channel_tracks)
   4. candidate = mean of the four tracks, reliability = their stddev /
      candidate; the best channel per frame wins
   5. contour fixing: neighbor-consistency zeroing (allowed_range 0.1),

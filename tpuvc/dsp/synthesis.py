@@ -68,14 +68,35 @@ def _excitation(f0: jnp.ndarray, n_samples: int, hop: int, fs: int,
 
     phase = 2.0 * jnp.pi * jnp.cumsum(jnp.where(vuv, f0_s, 0.0)) / fs
     cyc = jnp.floor(phase / (2.0 * jnp.pi))
-    prev = jnp.concatenate([cyc[:1] - 1, cyc[:-1]])
-    is_pulse = (cyc > prev) & vuv
+    prev_c = jnp.concatenate([cyc[:1] - 1, cyc[:-1]])
+    is_pulse = (cyc > prev_c) & vuv
     # sqrt(period) makes the pulse train unit average power; CheapTrick's
     # smoothing gain (x1.5 at harmonic peaks) and its sinc-lifter peak
     # attenuation cancel to ~1, so analyze(synthesize(sp)) == sp at harmonic
     # peaks with no extra factor (round-trip tested to within ~0.2 dB)
     amp = jnp.sqrt(fs / jnp.maximum(f0_s, 1.0))
-    pulses = jnp.where(is_pulse, amp, 0.0)
+    base = jnp.where(is_pulse, amp, 0.0)
+    # fractional pulse placement: the phase actually crosses 2*pi*cyc at
+    # t* = n - 1 + delta; bandlimit the fractional shift with an 8-tap
+    # Blackman-windowed sinc (WORLD compensates per-pulse fractional time
+    # the same way; integer placement scatters harmonic energy above ~2 kHz)
+    phi_prev = jnp.concatenate([phase[:1] - 2.0 * jnp.pi, phase[:-1]])
+    delta = (2.0 * jnp.pi * cyc - phi_prev) / jnp.maximum(
+        phase - phi_prev, 1e-9)
+    delta = jnp.clip(delta, 0.0, 1.0)
+    pulses = jnp.zeros_like(base)
+    for k in range(-7, 9):
+        u = k + 1.0 - delta                     # tap position vs pulse time
+        win = jnp.where(jnp.abs(u) < 8.0,
+                        0.42 + 0.5 * jnp.cos(jnp.pi * u / 8.0)
+                        + 0.08 * jnp.cos(jnp.pi * u / 4.0), 0.0)
+        tap = base * jnp.sinc(u) * win
+        if k < 0:
+            pulses = pulses.at[: n_samples + k].add(tap[-k:])
+        elif k == 0:
+            pulses = pulses + tap
+        else:
+            pulses = pulses.at[k:].add(tap[: n_samples - k])
     noise = jax.random.normal(key, (n_samples,), jnp.float32)
     return pulses, noise
 

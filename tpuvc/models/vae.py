@@ -192,13 +192,16 @@ class VAWGAN(nn.Module):
                 "d_real": self.critic(x), "d_fake": self.critic(xh)}
 
 
-def make_model(arch: Architecture, dtype: Dtype = jnp.float32) -> nn.Module:
+def make_model(arch: Architecture, dtype: Dtype | None = None) -> nn.Module:
     registry = {"VAE": CVAE, "VAWGAN": VAWGAN}
     try:
         cls = registry[arch.model]
     except KeyError as e:
         raise KeyError(f"unknown model {arch.model!r}; "
                        f"known: {sorted(registry)}") from e
+    if dtype is None:
+        dtype = {"float32": jnp.float32,
+                 "bfloat16": jnp.bfloat16}[arch.compute_dtype]
     return cls(arch=arch, dtype=dtype)
 
 

@@ -89,13 +89,14 @@ class Architecture:
                                  (128, 64, 32, 16, 1))
     discriminator: NetSpec = NetSpec((7, 7, 7), (3, 3, 3), (16, 32, 64))
     lrelu_slope: float = 0.2
+    compute_dtype: str = "float32"        # "bfloat16" for TPU inference
     training: TrainConfig = TrainConfig()
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Architecture":
         kw: dict[str, Any] = {}
         for key in ("model", "trainer", "x_dim", "z_dim", "y_dim", "y_emb_dim",
-                    "lrelu_slope"):
+                    "lrelu_slope", "compute_dtype"):
             if key in d:
                 kw[key] = d[key]
         # reference alias: "hwc": [513, 1, 1]
