@@ -55,3 +55,24 @@ def test_wav_roundtrip(tmp_path):
     y, fs = read_wav(str(p))
     assert fs == 16000
     np.testing.assert_allclose(y, x, atol=1e-4)  # 16-bit quantization + scale
+
+
+def test_grain_pipeline_batches():
+    import numpy as np
+
+    from tpuvc.data.dataset import FrameDataset
+    from tpuvc.data.grain_pipeline import HAVE_GRAIN, grain_batches
+    if not HAVE_GRAIN:
+        import pytest
+        pytest.skip("grain unavailable")
+    rng = np.random.default_rng(0)
+    ds = FrameDataset(x=rng.standard_normal((100, 8)).astype(np.float32),
+                      y=np.arange(100, dtype=np.int32))
+    it = grain_batches(ds, batch_size=16, seed=1, num_epochs=2)
+    batches = list(it)
+    assert len(batches) == 2 * (100 // 16)
+    xb, yb = batches[0]
+    assert xb.shape == (16, 8) and yb.shape == (16,)
+    # determinism: same seed -> same first batch
+    xb2, yb2 = next(grain_batches(ds, batch_size=16, seed=1, num_epochs=1))
+    np.testing.assert_array_equal(yb, yb2)
