@@ -32,10 +32,17 @@ def main() -> None:
     dur_s = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
     t_samples = int(dur_s * cfg.fs)
 
-    arch = Architecture()
+    arch = Architecture(compute_dtype="bfloat16")
     model = VAWGAN(arch=arch)
     params = init_params(model, arch, jax.random.PRNGKey(0))
-    convert = make_batch_convert_fn(model, cfg)
+    base_convert = make_batch_convert_fn(model, cfg)
+
+    @jax.jit
+    def convert(*a):
+        # ship int16 PCM back to the host: the product output is 16-bit WAV,
+        # and the sandbox's device->host tunnel is bandwidth-limited
+        y = base_convert(*a)
+        return jnp.clip(y * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
     rng = np.random.default_rng(0)
     t = np.arange(t_samples) / cfg.fs

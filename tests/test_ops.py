@@ -73,3 +73,26 @@ def test_mcd_properties():
     sp2 = sp.copy()
     sp2[:, 100:200] *= 4.0
     assert mcd(sp, sp2, 16000) > 0.5
+
+
+def test_pallas_window_matches_xla_path():
+    """Fused pallas windowing (interpreter mode on CPU) == XLA formulation."""
+    import jax.numpy as jnp
+
+    from tpuvc.dsp import cheaptrick as ct
+    from tpuvc.ops.pallas_window import windowed_frames_pallas
+
+    rng = np.random.default_rng(0)
+    fs, window, hop = 16000, 1024, 80
+    n = 21
+    x = jnp.asarray(rng.standard_normal(n * hop + 1), jnp.float32)
+    f0 = jnp.asarray(rng.uniform(80, 500, n), jnp.float32)
+    seg_ref, wp_ref = ct._windowed_frames(x, f0, hop, fs, window)
+    from tpuvc.ops.framing import frame_signal
+    seg_raw = frame_signal(x, hop, window, n)
+    seg_pl, wp_pl = windowed_frames_pallas(seg_raw, f0, fs, window,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(seg_pl), np.asarray(seg_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wp_pl), np.asarray(wp_ref),
+                               rtol=1e-5)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from tpuvc.dsp.constants import (CHEAPTRICK_DEFAULT_F0, CHEAPTRICK_Q1,
                                  SAFE_GUARD_MINIMUM, DEFAULT_WORLD, WorldConfig)
 from tpuvc.dsp.interp import interp_uniform
+from tpuvc.ops import pallas_window
 from tpuvc.ops.framing import frame_signal
 
 
@@ -46,15 +47,18 @@ def _windowed_frames(x: jnp.ndarray, f0: jnp.ndarray, hop: int,
     framing (ops/framing.py) — the TPU-fast formulation.
     """
     n_frames = f0.shape[0]
+    seg_raw = frame_signal(x, hop, fft_size, n_frames)             # [N, W]
+    if pallas_window.use_pallas():
+        return pallas_window.windowed_frames_pallas(seg_raw, f0, fs,
+                                                    fft_size)
     base = jnp.arange(fft_size, dtype=jnp.int32) - fft_size // 2  # [-W/2, W/2)
     half_len = jnp.rint(1.5 * fs / f0).astype(jnp.int32)          # [N]
     mask = (jnp.abs(base)[None, :] <= half_len[:, None])          # [N, W]
-    seg = frame_signal(x, hop, fft_size, n_frames)                 # [N, W]
     t = base.astype(x.dtype) / fs                                  # [W] seconds
     # Hanning over +-1.5 periods: w(t) = 0.5 + 0.5 cos(pi t f0 / 1.5)
     win = (0.5 + 0.5 * jnp.cos(jnp.pi * t[None, :] * f0[:, None] / 1.5))
     win = jnp.where(mask, win, 0.0)
-    seg = seg * win
+    seg = seg_raw * win
     # weighted mean removal so the windowed segment has zero weighted DC
     wsum = jnp.sum(win, axis=-1, keepdims=True)
     seg = seg - win * (jnp.sum(seg, axis=-1, keepdims=True)
@@ -65,14 +69,25 @@ def _windowed_frames(x: jnp.ndarray, f0: jnp.ndarray, hop: int,
 
 def _dc_correction(ps: jnp.ndarray, f0: jnp.ndarray, fs: int,
                    fft_size: int) -> jnp.ndarray:
-    """Add the spectrum mirrored around f0 to the bins below f0."""
+    """Add the spectrum mirrored around f0 to the bins below f0.
+
+    replica(k) = ps(f0/df - k) is a fractional shift of the even periodic
+    extension of ps (mirroring around f0 == shifting the reflected even
+    spectrum), so it is computed with one rfft/irfft pair and a per-frame
+    phase ramp — gather-free (a per-bin interpolation gather here was most
+    of CheapTrick's runtime on v5e).
+    """
     half = fft_size // 2 + 1
     df = fs / fft_size
     k = jnp.arange(half, dtype=ps.dtype)
     freq = k * df                                            # [half]
-    # replica(f) = ps(f0 - f) for f < f0
-    query = (f0[:, None] - freq[None, :]) / df               # [N, half]
-    replica = interp_uniform(ps, jnp.maximum(query, 0.0))
+    ext = jnp.concatenate([ps, ps[..., -2:0:-1]], axis=-1)   # even, len 1024
+    c = jnp.fft.rfft(ext, axis=-1)                           # [N, half]
+    q = (f0 / df)[:, None]                                   # shift in bins
+    m = jnp.arange(half, dtype=ps.dtype)[None, :]
+    ramp = jnp.exp(-2j * jnp.pi * (m * q) / fft_size)
+    replica = jnp.fft.irfft(c * ramp, n=fft_size, axis=-1)[..., :half]
+    replica = jnp.maximum(replica, 0.0)   # band-limited shift may ring
     below = freq[None, :] < f0[:, None]
     return jnp.where(below, ps + replica, ps)
 

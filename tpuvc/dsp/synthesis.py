@@ -130,14 +130,16 @@ def synthesize(f0: jnp.ndarray, sp: jnp.ndarray, ap: jnp.ndarray,
     ap2 = jnp.clip(ap * ap, 1e-12, 1.0)
     log_amp_p = 0.5 * jnp.log(jnp.maximum(sp * (1.0 - ap2), 1e-20))
     log_amp_n = 0.5 * jnp.log(jnp.maximum(sp * ap2, 1e-20))
-    h_p = minimum_phase_spectrum(log_amp_p, fft_size)     # [N, half]
-    h_n = minimum_phase_spectrum(log_amp_n, fft_size)
+    # pack periodic + aperiodic through ONE batched FFT pipeline each stage
+    # (halves kernel count; per-kernel overhead is significant on the target)
+    h = minimum_phase_spectrum(
+        jnp.concatenate([log_amp_p, log_amp_n], axis=0), fft_size)
 
-    seg_p = pulses.reshape(n_frames, hop)
-    seg_n = noise.reshape(n_frames, hop)
-    e_p = jnp.fft.rfft(seg_p, n=fft_size, axis=-1)
-    e_n = jnp.fft.rfft(seg_n, n=fft_size, axis=-1)
-    resp = jnp.fft.irfft(e_p * h_p + e_n * h_n, n=fft_size, axis=-1)
+    seg = jnp.concatenate([pulses.reshape(n_frames, hop),
+                           noise.reshape(n_frames, hop)], axis=0)
+    e = jnp.fft.rfft(seg, n=fft_size, axis=-1)
+    eh = e * h
+    resp = jnp.fft.irfft(eh[:n_frames] + eh[n_frames:], n=fft_size, axis=-1)
 
     out = overlap_add(resp, hop)
     return out[:n_samples]
