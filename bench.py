@@ -28,8 +28,9 @@ def main() -> None:
     from tpuvc.utils.config import Architecture
 
     cfg = DEFAULT_WORLD
-    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 8
-    dur_s = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    # defaults = the measured sweet spot on v5e (batch 256 exceeds HBM)
+    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 128
+    dur_s = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
     t_samples = int(dur_s * cfg.fs)
 
     arch = Architecture(compute_dtype="bfloat16")
