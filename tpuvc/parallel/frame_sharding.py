@@ -20,7 +20,6 @@ inter-device exchange needed because the source signal is replicated.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ sharding: under a mesh, XLA turns the gradient mean into a psum over ICI.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

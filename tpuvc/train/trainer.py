@@ -13,7 +13,7 @@ import os
 from typing import Any, Iterator
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 from tpuvc.models.vae import CVAE, VAWGAN
