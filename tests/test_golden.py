@@ -1,0 +1,51 @@
+"""Golden regression tests for the DSP frontend (SURVEY.md SS4 item 1).
+
+Committed fixtures pin the analysis/synthesis behavior so optimization
+rounds can't silently change numerics.  Regenerate with
+``python tests/make_goldens.py`` ONLY after an intended behavior change.
+(The reference's pyworld is not installable in this environment, so the
+goldens are self-referential regression anchors, not cross-implementation
+parity fixtures — see SURVEY.md provenance note.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpuvc.dsp.constants import DEFAULT_WORLD
+from tpuvc.dsp.world import analyze, resynthesize
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "dsp_golden.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(FIXTURE)
+
+
+def test_analysis_matches_golden(golden):
+    cfg = DEFAULT_WORLD
+    feats = analyze(golden["x"], cfg)
+    f0 = np.asarray(feats.f0)
+    np.testing.assert_array_equal(f0 > 0, golden["f0"] > 0,
+                                  err_msg="voicing decisions changed")
+    v = golden["f0"] > 0
+    np.testing.assert_allclose(f0[v], golden["f0"][v], rtol=1e-3)
+    sp_db = 10 * np.log10(np.asarray(feats.sp) + 1e-20)
+    ref_db = 10 * np.log10(golden["sp"] + 1e-20)
+    assert np.abs(sp_db - ref_db).max() < 0.2, "envelope drifted > 0.2 dB"
+    np.testing.assert_allclose(np.asarray(feats.ap), golden["ap"], atol=5e-3)
+
+
+def test_synthesis_matches_golden(golden):
+    cfg = DEFAULT_WORLD
+    from tpuvc.dsp.world import WorldFeatures
+    feats = WorldFeatures(f0=golden["f0"], sp=golden["sp"], ap=golden["ap"])
+    y = np.asarray(resynthesize(feats, cfg, seed=7))
+    ref = golden["y"]
+    assert y.shape == ref.shape
+    # waveform-level check: same PRNG seed -> near-identical output
+    err = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 1e-3, f"synthesis waveform drifted: rel {err:.2e}"

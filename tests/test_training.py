@@ -127,3 +127,34 @@ def test_data_parallel_matches_single_device(small_arch):
     leaves2 = jax.tree.leaves(jax.device_get(state2.params))
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_checkpoint_resume_continues_training(small_arch, tmp_path):
+    """Kill-and-restart capability (SURVEY.md SS5.3-5.4): a new trainer on
+    the same run dir resumes from the saved step with identical state."""
+    import os
+
+    from tpuvc.train.trainer import VAETrainer
+
+    rng = np.random.default_rng(5)
+
+    def batches():
+        while True:
+            yield _toy_batch(rng, 32, small_arch)
+
+    run = str(tmp_path / "run")
+    os.makedirs(run)
+    t1 = VAETrainer(small_arch, run, use_tensorboard=False)
+    t1.train(batches(), total_steps=6, log_every=3, save_every=5)
+    saved_params = jax.device_get(t1.state.params)
+    t1.close()
+
+    t2 = VAETrainer(small_arch, run, use_tensorboard=False)
+    start = t2._resume()
+    assert start == 6  # final save at total_steps
+    for a, b in zip(jax.tree.leaves(saved_params),
+                    jax.tree.leaves(jax.device_get(t2.state.params))):
+        np.testing.assert_array_equal(a, b)
+    t2.train(batches(), total_steps=8, log_every=1, save_every=100)
+    assert int(t2.state.step) == 8
+    t2.close()
