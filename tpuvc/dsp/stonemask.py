@@ -29,7 +29,7 @@ from tpuvc.dsp.constants import (DEFAULT_WORLD, STONEMASK_NUM_HARMONICS,
 from tpuvc.dsp.interp import interp_uniform
 from tpuvc.ops.framing import frame_signal
 
-_FFT_SIZE = 2048  # covers 3 periods at f0_floor=71, fs=16k (679 samples)
+_FFT_SIZE = 1024  # covers 3 periods at f0_floor=71, fs=16k (679 samples)
 
 
 def _refine_once(x: jnp.ndarray, f0: jnp.ndarray, hop: int,
