@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 from tpuvc.dsp.constants import (CHEAPTRICK_DEFAULT_F0, CHEAPTRICK_Q1,
                                  SAFE_GUARD_MINIMUM, DEFAULT_WORLD, WorldConfig)
-from tpuvc.dsp.interp import interp_uniform
 from tpuvc.ops import pallas_window
 from tpuvc.ops.framing import frame_signal
 
@@ -72,22 +71,28 @@ def _dc_correction(ps: jnp.ndarray, f0: jnp.ndarray, fs: int,
                    fft_size: int) -> jnp.ndarray:
     """Add the spectrum mirrored around f0 to the bins below f0.
 
-    The replica is only needed for the <= ceil(f0_ceil/df) lowest bins
-    (~54 of 513 at 16 kHz), so a small interpolation gather over that
-    prefix is cheaper than any full-spectrum formulation (an all-bin
-    gather and a 2-FFT fractional-shift were both measured slower on
-    v5e).
+    replica(k) = ps(f0/df - k) is a fractional shift of the even periodic
+    extension of ps (mirroring around f0 == shifting the reflected even
+    spectrum), computed with one rfft/irfft pair and a per-frame phase
+    ramp.  Gather formulations (all bins, or just the <=64 bins below
+    f0_ceil) were both measured SLOWER than the 2 extra FFTs on v5e —
+    per-row gather overhead dominates at any width; the band-limited
+    shift differs from WORLD's linear interpolation only by slight
+    ringing next to the f0 peak, inside the DC-corrected region.
     """
     half = fft_size // 2 + 1
     df = fs / fft_size
-    kmax = min(half, int(2.0 * CHEAPTRICK_DEFAULT_F0 / df) + 2)
-    freq_lo = jnp.arange(kmax, dtype=ps.dtype) * df          # [kmax]
-    # replica(f) = ps(f0 - f) for f < f0
-    query = (f0[:, None] - freq_lo[None, :]) / df            # [N, kmax]
-    replica = interp_uniform(ps, jnp.maximum(query, 0.0))
-    below = freq_lo[None, :] < f0[:, None]
-    low = jnp.where(below, ps[..., :kmax] + replica, ps[..., :kmax])
-    return jnp.concatenate([low, ps[..., kmax:]], axis=-1)
+    k = jnp.arange(half, dtype=ps.dtype)
+    freq = k * df                                            # [half]
+    ext = jnp.concatenate([ps, ps[..., -2:0:-1]], axis=-1)   # even, len 1024
+    c = jnp.fft.rfft(ext, axis=-1)                           # [N, half]
+    q = (f0 / df)[:, None]                                   # shift in bins
+    m = jnp.arange(half, dtype=ps.dtype)[None, :]
+    ramp = jnp.exp(-2j * jnp.pi * (m * q) / fft_size)
+    replica = jnp.fft.irfft(c * ramp, n=fft_size, axis=-1)[..., :half]
+    replica = jnp.maximum(replica, 0.0)   # band-limited shift may ring
+    below = freq[None, :] < f0[:, None]
+    return jnp.where(below, ps + replica, ps)
 
 
 def _linear_smoothing(ps: jnp.ndarray, width: jnp.ndarray, fs: int,
