@@ -96,3 +96,32 @@ def test_pallas_window_matches_xla_path():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(wp_pl), np.asarray(wp_ref),
                                rtol=1e-5)
+
+
+def test_pallas_conv_ln_lrelu_matches_flax():
+    """Fused conv+LN+lrelu kernel (interpreter mode) == flax composition."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from tpuvc.ops.pallas_conv import conv_ln_lrelu
+
+    rng = np.random.default_rng(0)
+    for stride, l, cin, cout, k in [(3, 57, 16, 32, 7), (1, 19, 8, 16, 7),
+                                    (3, 513, 1, 8, 7)]:
+        x = jnp.asarray(rng.standard_normal((5, l, cin)), jnp.float32)
+        w = jnp.asarray(0.2 * rng.standard_normal((k, cin, cout)),
+                        jnp.float32)
+        b = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+        g = jnp.asarray(1 + 0.1 * rng.standard_normal(cout), jnp.float32)
+        bt = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+
+        ref = nn.Conv(cout, (k,), strides=(stride,), padding="SAME").apply(
+            {"params": {"kernel": w, "bias": b}}, x)
+        ref = nn.LayerNorm().apply({"params": {"scale": g, "bias": bt}}, ref)
+        ref = nn.leaky_relu(ref, 0.2)
+
+        got = conv_ln_lrelu(x, w, b, g, bt, stride, 0.2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"s={stride} l={l} c={cin}->{cout}")

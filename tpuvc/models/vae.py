@@ -35,14 +35,36 @@ Dtype = Any
 
 
 class ConvStack(nn.Module):
-    """Strided 1-D conv stack with LayerNorm + LeakyReLU after each layer."""
+    """Strided 1-D conv stack with LayerNorm + LeakyReLU after each layer.
+
+    conv_impl="pallas" runs each layer as ONE fused VMEM-resident kernel
+    (ops/pallas_conv.py) — the north-star 'fused conv+norm+activation'
+    path for TPU inference.  The parameter tree differs between impls.
+    """
 
     spec: NetSpec
     slope: float
     dtype: Dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, h: jnp.ndarray) -> jnp.ndarray:  # [B, L, C]
+        if self.conv_impl == "pallas":
+            from tpuvc.ops.pallas_conv import conv_ln_lrelu
+            from tpuvc.ops.pallas_window import use_pallas
+            interp = not use_pallas()
+            for i, (k, s, c) in enumerate(zip(self.spec.kernel,
+                                              self.spec.stride,
+                                              self.spec.output)):
+                cin = h.shape[-1]
+                w = self.param(f"conv{i}_kernel",
+                               nn.initializers.lecun_normal(), (k, cin, c))
+                b = self.param(f"conv{i}_bias", nn.initializers.zeros, (c,))
+                g = self.param(f"ln{i}_scale", nn.initializers.ones, (c,))
+                bt = self.param(f"ln{i}_bias", nn.initializers.zeros, (c,))
+                h = conv_ln_lrelu(h, w, b, g, bt, s, self.slope,
+                                  interpret=interp)
+            return h
         for k, s, c in zip(self.spec.kernel, self.spec.stride,
                            self.spec.output):
             h = nn.Conv(c, (k,), strides=(s,), padding="SAME",
@@ -62,7 +84,7 @@ class Encoder(nn.Module):
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         h = x[..., None].astype(self.dtype)                 # [B, 513, 1]
         h = ConvStack(self.arch.encoder, self.arch.lrelu_slope,
-                      self.dtype)(h)
+                      self.dtype, self.arch.conv_impl)(h)
         h = h.reshape(h.shape[0], -1)
         mu = nn.Dense(self.arch.z_dim, dtype=self.dtype)(h)
         lv = nn.Dense(self.arch.z_dim, dtype=self.dtype)(h)
@@ -125,7 +147,7 @@ class Critic(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = x[..., None].astype(self.dtype)
         h = ConvStack(self.arch.discriminator, self.arch.lrelu_slope,
-                      self.dtype)(h)
+                      self.dtype, self.arch.conv_impl)(h)
         h = h.reshape(h.shape[0], -1)
         return nn.Dense(1, dtype=self.dtype)(h)[..., 0].astype(jnp.float32)
 

@@ -90,13 +90,16 @@ class Architecture:
     discriminator: NetSpec = NetSpec((7, 7, 7), (3, 3, 3), (16, 32, 64))
     lrelu_slope: float = 0.2
     compute_dtype: str = "float32"        # "bfloat16" for TPU inference
+    conv_impl: str = "xla"                # "pallas": fused conv+LN+lrelu
+    #   kernels on TPU (interpreter-mode elsewhere; parameter tree differs
+    #   from the xla impl, so pick per run, not per checkpoint)
     training: TrainConfig = TrainConfig()
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Architecture":
         kw: dict[str, Any] = {}
         for key in ("model", "trainer", "x_dim", "z_dim", "y_dim", "y_emb_dim",
-                    "lrelu_slope", "compute_dtype"):
+                    "lrelu_slope", "compute_dtype", "conv_impl"):
             if key in d:
                 kw[key] = d[key]
         # reference alias: "hwc": [513, 1, 1]
