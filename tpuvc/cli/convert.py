@@ -70,6 +70,9 @@ def main(argv: list[str] | None = None) -> list[str]:
     p.add_argument("--output", default=None,
                    help="default: <checkpoint>/converted")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_spectrogram", action="store_true",
+                   help="also write a jet spectrogram PNG per converted wav "
+                        "(reference util/image.py summaries)")
     add_platform_flag(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -125,10 +128,27 @@ def main(argv: list[str] | None = None) -> list[str]:
             out_dir, f"{args.trg}-{os.path.splitext(os.path.basename(w))[0]}"
                      ".wav")
         write_wav(out, y, fs)
+        if args.save_spectrogram:
+            _save_spectrogram_png(out, y, fs)
         outputs.append(out)
         print(f"[convert] step{step} {args.src}->{args.trg} "
               f"{os.path.basename(w)} -> {out}")
     return outputs
+
+
+def _save_spectrogram_png(wav_path: str, y, fs: int) -> None:
+    import numpy as np
+
+    from tpuvc.data.analyze_corpus import analyze_utterance
+    from tpuvc.dsp.constants import DEFAULT_WORLD
+    from tpuvc.utils.image import spectrogram_image
+    try:
+        from matplotlib import image as mpimg
+    except Exception:
+        return
+    _, sp, _ = analyze_utterance(np.asarray(y, np.float64), DEFAULT_WORLD)
+    img = spectrogram_image(sp, log_input=True)
+    mpimg.imsave(wav_path.replace(".wav", ".png"), img)
 
 
 if __name__ == "__main__":

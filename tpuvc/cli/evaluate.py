@@ -25,9 +25,19 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--split", default="test", choices=["train", "test"])
     p.add_argument("--speaker", default=None)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--checkpoint", default=None,
+                   help="evaluate CONVERSION MCD: convert every test "
+                        "utterance src->trg and compare against the target "
+                        "speaker's parallel recording of the same utterance "
+                        "(VCC2016-style corpora are parallel)")
+    p.add_argument("--src", default=None)
+    p.add_argument("--trg", default=None)
     add_platform_flag(p)
     args = p.parse_args(argv)
     apply_platform(args)
+
+    if args.checkpoint:
+        return _conversion_mcd(args)
 
     from tpuvc.data.analyze_corpus import analyze_utterance
     from tpuvc.dsp.constants import DEFAULT_WORLD
@@ -55,6 +65,54 @@ def main(argv: list[str] | None = None) -> dict:
     result = {"metric": "round-trip MCD", "unit": "dB",
               "mean": round(float(np.mean(scores)), 3),
               "max": round(float(np.max(scores)), 3),
+              "n_utterances": len(scores)}
+    print(json.dumps(result))
+    return result
+
+
+def _conversion_mcd(args) -> dict:
+    """MCD between converted src->trg utterances and the target speaker's
+    parallel recordings (frame counts are aligned by truncation; VCC2016
+    parallel recordings differ in timing, so this is an upper bound — the
+    reference papers used DTW-free framewise MCD the same way for
+    same-length features)."""
+    import os
+
+    import numpy as np
+
+    from tpuvc.cli.convert import load_converter
+    from tpuvc.data.analyze_corpus import analyze_utterance
+    from tpuvc.dsp.constants import DEFAULT_WORLD
+    from tpuvc.io import corpus as corpus_io
+    from tpuvc.io.wav import read_wav
+    from tpuvc.utils.metrics import mcd
+
+    if not args.src or not args.trg:
+        raise SystemExit("--checkpoint evaluation needs --src and --trg")
+    cfg = DEFAULT_WORLD
+    converter, step = load_converter(args.checkpoint, args.corpus)
+    split = (corpus_io.TEST_SPLIT if args.split == "test"
+             else corpus_io.TRAIN_SPLIT)
+    src_wavs = corpus_io.list_wavs(args.corpus, split, args.src)
+    if args.limit:
+        src_wavs = src_wavs[: args.limit]
+    scores = []
+    for w in src_wavs:
+        utt = os.path.basename(w)
+        trg_w = w.replace(f"/{args.src}/", f"/{args.trg}/")
+        if not os.path.exists(trg_w):
+            continue
+        x, _ = read_wav(w)
+        y = converter.convert(x, args.src, args.trg)
+        _, sp_conv, _ = analyze_utterance(y, cfg)
+        xt, _ = read_wav(trg_w)
+        _, sp_trg, _ = analyze_utterance(xt, cfg)
+        n = min(len(sp_conv), len(sp_trg))
+        scores.append(mcd(sp_conv[:n], sp_trg[:n], cfg.fs))
+    result = {"metric": f"conversion MCD {args.src}->{args.trg} vs target "
+                        "parallel recording",
+              "unit": "dB", "step": int(step),
+              "mean": round(float(np.mean(scores)), 3) if scores else None,
               "n_utterances": len(scores)}
     print(json.dumps(result))
     return result
