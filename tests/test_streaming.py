@@ -1,0 +1,75 @@
+"""Streaming conversion tests (BASELINE config 5 serving surface)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tests.conftest import make_harmonic
+from tpuvc.convert.pipeline import Converter, ConverterAssets
+from tpuvc.convert.streaming import StreamingConverter
+from tpuvc.dsp.constants import DEFAULT_WORLD
+from tpuvc.models.vae import CVAE, init_params
+from tpuvc.utils.config import Architecture, NetSpec
+
+
+@pytest.fixture(scope="module")
+def converter():
+    arch = Architecture(
+        model="VAE", z_dim=16, y_dim=2, y_emb_dim=8,
+        encoder=NetSpec((7, 7), (3, 3), (8, 16)),
+        generator=NetSpec((7, 7, 7), (3, 3, 3), (16, 8, 1)),
+        discriminator=NetSpec((7,), (3,), (8,)),
+    )
+    model = CVAE(arch=arch)
+    params = init_params(model, arch, jax.random.PRNGKey(0))
+    assets = ConverterAssets(
+        xmin=np.full(513, -10.0, np.float32),
+        xmax=np.full(513, 1.0, np.float32),
+        f0_mu=np.array([5.0, 5.3], np.float32),
+        f0_sigma=np.array([1.0, 1.0], np.float32),
+        speakers=["A", "B"])
+    return Converter(model, params, assets, DEFAULT_WORLD, bucket_s=1.0)
+
+
+def test_streaming_matches_length_and_is_continuous(converter):
+    cfg = DEFAULT_WORLD
+    x = make_harmonic(150.0, fs=cfg.fs, dur_s=3.2, n_harm=8, noise=0.003)
+    s = StreamingConverter(converter, "A", "B", chunk_s=1.0)
+    outs = []
+    # feed in odd-sized blocks to exercise buffering
+    for i in range(0, len(x), 3001):
+        outs.append(s.push(x[i: i + 3001]))
+    outs.append(s.flush())
+    y = np.concatenate(outs)
+    assert abs(len(y) - len(x)) <= s.halo + cfg.hop, (len(y), len(x))
+    assert np.all(np.isfinite(y)) and np.std(y) > 1e-4
+    # continuity at chunk joins: sample-to-sample steps at the joins should
+    # be comparable to the overall signal's step distribution
+    step = np.abs(np.diff(y))
+    global_p999 = np.quantile(step, 0.999)
+    for join in (s.chunk, 2 * s.chunk):
+        local = step[join - 100: join + 100]
+        assert local.max() < 6 * global_p999 + 1e-3, f"join at {join}"
+
+
+def test_streaming_output_resembles_batch_output(converter):
+    """Same audio through streaming vs one-shot: comparable energy and
+    spectral envelope (the decoder weights are random, so outputs are not
+    speech-like, but streaming must reproduce whatever the one-shot graph
+    produces)."""
+    from tpuvc.dsp.world import analyze
+    cfg = DEFAULT_WORLD
+    x = make_harmonic(140.0, fs=cfg.fs, dur_s=2.4, n_harm=8, noise=0.003)
+    y_full = converter.convert(x, "A", "B")
+    s = StreamingConverter(converter, "A", "B", chunk_s=1.0)
+    y_stream = np.concatenate([s.push(x), s.flush()])
+    n = min(len(y_full), len(y_stream))
+    assert np.std(y_stream[:n]) == pytest.approx(np.std(y_full[:n]),
+                                                 rel=0.35)
+    sp_f = 10 * np.log10(np.asarray(analyze(y_full[:n], cfg).sp) + 1e-20)
+    sp_s = 10 * np.log10(np.asarray(analyze(y_stream[:n], cfg).sp) + 1e-20)
+    nf = min(len(sp_f), len(sp_s))
+    # average envelopes over mid frames agree within a few dB
+    mid = slice(nf // 4, 3 * nf // 4)
+    diff = np.abs(sp_f[mid].mean(0) - sp_s[mid].mean(0))
+    assert diff.mean() < 3.0, f"mean envelope diff {diff.mean():.1f} dB"
