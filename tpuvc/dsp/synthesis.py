@@ -57,11 +57,14 @@ def minimum_phase_spectrum(log_amp_half: jnp.ndarray,
 def _excitation(f0: jnp.ndarray, n_samples: int, hop: int, fs: int,
                 key: jax.Array) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-sample pulse train and white noise, both ~unit average power."""
-    n = jnp.arange(n_samples)
-    i0 = jnp.minimum(n // hop, f0.shape[0] - 1)
-    i1 = jnp.minimum(i0 + 1, f0.shape[0] - 1)
-    w = (n % hop).astype(jnp.float32) / hop
-    a, b = f0[i0], f0[i1]
+    # per-sample f0 by broadcast upsampling (gather-free: f0[n // hop] as a
+    # [N, hop] broadcast + reshape)
+    n_frames = n_samples // hop
+    fa = f0[:n_frames]
+    fb = jnp.concatenate([fa[1:], fa[-1:]])   # next frame's f0, clamped
+    a = jnp.broadcast_to(fa[:, None], (n_frames, hop)).reshape(-1)
+    b = jnp.broadcast_to(fb[:, None], (n_frames, hop)).reshape(-1)
+    w = jnp.tile(jnp.arange(hop, dtype=jnp.float32) / hop, n_frames)
     both = (a > 0) & (b > 0)
     f0_s = jnp.where(both, (1.0 - w) * a + w * b, jnp.maximum(a, b))
     vuv = jnp.where(w < 0.5, a > 0, b > 0)
