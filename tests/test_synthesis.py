@@ -83,3 +83,24 @@ def test_roundtrip_preserves_f0_and_spectrum(f0_true):
     hi = int(min(8 * f0_true, 5000) / (cfg.fs / cfg.fft_size))
     diff = np.abs(s1[:, lo:hi].mean(0) - s2[:, lo:hi].mean(0))
     assert diff.mean() < 5.0, f"mean band error {diff.mean():.1f} dB"
+
+
+def test_minphase_matmul_matches_fft_formulation():
+    import jax.numpy as jnp
+
+    from tpuvc.dsp.synthesis import minimum_phase_spectrum, rfft_short
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((7, 513)) * 2.0 - 5.0, jnp.float32)
+    got = np.asarray(minimum_phase_spectrum(a, 1024))
+    # reference formulation via FFTs
+    cep = np.fft.irfft(np.asarray(a).astype(np.complex64), n=1024, axis=-1)
+    fold = np.concatenate([cep[:, :1], 2 * cep[:, 1:512], cep[:, 512:513],
+                           np.zeros_like(cep[:, 513:])], axis=-1)
+    want = np.exp(np.fft.rfft(fold, n=1024, axis=-1))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+    seg = jnp.asarray(rng.standard_normal((5, 80)), jnp.float32)
+    got2 = np.asarray(rfft_short(seg, 1024))
+    want2 = np.fft.rfft(np.asarray(seg), n=1024, axis=-1)
+    np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-4)
