@@ -68,12 +68,23 @@ def main() -> None:
     # reliable fence on the experimental axon platform)
     np.asarray(convert(*args))
 
+    # latency: one call, synced
+    lat = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(convert(*args))
+        lat = min(lat, time.perf_counter() - t0)
+
+    # throughput: pipelined dispatch (device compute overlaps D2H of the
+    # previous call — the steady-state serving pattern)
+    k = 4
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = convert(*args)
-        np.asarray(out)  # D2H of batch*T floats: negligible vs compute
-        best = min(best, time.perf_counter() - t0)
+        outs = [convert(*args) for _ in range(k)]
+        for o in outs:
+            np.asarray(o)
+        best = min(best, (time.perf_counter() - t0) / k)
 
     audio_seconds = batch * dur_s
     value = audio_seconds / best
@@ -85,7 +96,9 @@ def main() -> None:
         "vs_baseline": round(value / 1000.0, 4),
         "batch": batch,
         "utterance_s": dur_s,
-        "wall_s": round(best, 4),
+        "wall_s_per_call": round(best, 4),
+        "latency_s": round(lat, 4),
+        "latency_x_realtime": round(audio_seconds / lat, 2),
         "device": str(jax.devices()[0]),
     }))
 
