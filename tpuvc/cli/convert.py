@@ -107,7 +107,7 @@ def main(argv: list[str] | None = None) -> list[str]:
         ys = converter.convert_batch(xs, srcs, trgs, seed=args.seed)
         for name, y in zip(names, ys):
             out = os.path.join(out_dir, name)
-            write_wav(out, y, 16000)
+            write_wav(out, y, converter.cfg.fs)
             outputs.append(out)
         print(f"[convert] step{step} all-pairs: {len(outputs)} conversions "
               f"({len(set(srcs))} speakers) -> {out_dir}")
