@@ -39,10 +39,12 @@ def main() -> None:
     base_convert = make_batch_convert_fn(model, cfg)
 
     @jax.jit
-    def convert(*a):
-        # ship int16 PCM back to the host: the product output is 16-bit WAV,
-        # and the sandbox's device->host tunnel is bandwidth-limited
-        y = base_convert(*a)
+    def convert(p, *a):
+        # int16 PCM halves the D2H over the bandwidth-limited tunnel.
+        # (Baking params as compile-time constants was 31% faster at batch
+        # 32 but consistently SLOWER at batch 128 on this runtime — A/B'd
+        # in-process; params stay an argument.)
+        y = base_convert(p, *a)
         return jnp.clip(y * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
 
     rng = np.random.default_rng(0)
