@@ -76,3 +76,13 @@ def test_grain_pipeline_batches():
     # determinism: same seed -> same first batch
     xb2, yb2 = next(grain_batches(ds, batch_size=16, seed=1, num_epochs=1))
     np.testing.assert_array_equal(yb, yb2)
+
+
+def test_dataset_batches_rejects_tiny_corpus():
+    import pytest
+
+    from tpuvc.data.dataset import FrameDataset
+    ds = FrameDataset(x=np.zeros((10, 8), np.float32),
+                      y=np.zeros(10, np.int32))
+    with pytest.raises(ValueError, match="batch_size"):
+        next(ds.batches(batch_size=64))

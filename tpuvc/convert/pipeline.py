@@ -132,6 +132,8 @@ class Converter:
         source/target speakers may differ (all-pairs many-to-many,
         BASELINE config 4).
         """
+        if not xs:
+            return []
         if not hasattr(self, "_batch_fn"):
             self._batch_fn = make_batch_convert_fn(self.model, self.cfg)
         a = self.assets

@@ -65,6 +65,10 @@ class FrameDataset:
         from tpuvc import native
         rng = np.random.default_rng(seed)
         n = len(self)
+        if n < batch_size:
+            raise ValueError(
+                f"corpus has {n} frames < batch_size {batch_size}; "
+                "reduce batch_size or add data")
         x = self.x if normalizer is None else normalizer.forward(
             self.x).astype(np.float32)
         while True:
