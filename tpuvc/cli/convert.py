@@ -95,6 +95,9 @@ def main(argv: list[str] | None = None) -> list[str]:
                                        args.file_pattern):
                     continue
                 x, fs = read_wav(w)
+                if fs != converter.cfg.fs:
+                    raise ValueError(f"{w}: sample rate {fs} != "
+                                     f"{converter.cfg.fs}; resample first")
                 utt = os.path.splitext(os.path.basename(w))[0]
                 for trg in speakers:
                     if trg == src:
@@ -123,11 +126,11 @@ def main(argv: list[str] | None = None) -> list[str]:
     outputs = []
     for w in wavs:
         x, fs = read_wav(w)
-        y = converter.convert(x, args.src, args.trg, seed=args.seed)
+        y = converter.convert(x, args.src, args.trg, seed=args.seed, fs=fs)
         out = os.path.join(
             out_dir, f"{args.trg}-{os.path.splitext(os.path.basename(w))[0]}"
                      ".wav")
-        write_wav(out, y, fs)
+        write_wav(out, y, converter.cfg.fs)
         if args.save_spectrogram:
             _save_spectrogram_png(out, y, fs)
         outputs.append(out)

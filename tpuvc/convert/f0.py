@@ -16,7 +16,7 @@ def f0_statistics(f0s: list[np.ndarray]) -> tuple[float, float]:
     """Voiced log-f0 mean/std over a speaker's utterances."""
     voiced = np.concatenate([f[f > 0] for f in f0s]) if f0s else np.array([])
     if voiced.size == 0:
-        return 0.0, 1.0
+        return float("nan"), 1.0  # no voiced data: mark stats unavailable
     lf = np.log(voiced)
     return float(lf.mean()), float(max(lf.std(), 1e-6))
 

@@ -124,8 +124,23 @@ class Converter:
         n = max(1, -(-len(x) // self.bucket))
         return np.pad(x, (0, n * self.bucket - len(x)))
 
+    def _check_fs(self, fs: int | None) -> None:
+        if fs is not None and fs != self.cfg.fs:
+            raise ValueError(
+                f"input sample rate {fs} != pipeline rate {self.cfg.fs}; "
+                "resample first (analysis constants are fs-specific)")
+
+    def _check_speaker_stats(self, *indices: int) -> None:
+        for i in indices:
+            if not np.isfinite(self.assets.f0_mu[i]):
+                raise ValueError(
+                    f"speaker {self.assets.speakers[i]!r} has no f0 "
+                    "statistics (no training-split utterances were "
+                    "analyzed for it)")
+
     def convert_batch(self, xs: list[np.ndarray], srcs: list[str],
-                      trgs: list[str], seed: int = 0) -> list[np.ndarray]:
+                      trgs: list[str], seed: int = 0,
+                      fs: int | None = None) -> list[np.ndarray]:
         """Convert many utterances in ONE device call (vmapped graph).
 
         Utterances are padded to the largest common bucket; per-utterance
@@ -134,9 +149,12 @@ class Converter:
         """
         if not xs:
             return []
+        self._check_fs(fs)
         if not hasattr(self, "_batch_fn"):
             self._batch_fn = make_batch_convert_fn(self.model, self.cfg)
         a = self.assets
+        self._check_speaker_stats(*[a.speakers.index(s) for s in srcs],
+                                  *[a.speakers.index(t) for t in trgs])
         lens = [len(x) for x in xs]
         t_pad = max(1, -(-max(lens) // self.bucket)) * self.bucket
         xp = np.stack([np.pad(np.asarray(x, np.float32),
@@ -155,10 +173,12 @@ class Converter:
         return [y[i, :lens[i]] for i in range(len(xs))]
 
     def convert(self, x: np.ndarray, src: str, trg: str,
-                seed: int = 0) -> np.ndarray:
+                seed: int = 0, fs: int | None = None) -> np.ndarray:
+        self._check_fs(fs)
         a = self.assets
         si = a.speakers.index(src)
         ti = a.speakers.index(trg)
+        self._check_speaker_stats(si, ti)
         xp = self._pad(np.asarray(x, np.float32))
         y = self._fn(self.params, jnp.asarray(xp), jnp.int32(ti),
                      jnp.asarray(a.xmin), jnp.asarray(a.xmax),

@@ -80,8 +80,14 @@ def analyze_corpus(corpus_root: str, cfg: WorldConfig = DEFAULT_WORLD,
 
     if xmin is not None:
         corpus_io.save_norm_stats(etc, xmin, xmax)
-    mu = np.zeros(len(speakers), np.float32)
+    # NaN marks speakers with no analyzed training data: conversion to/from
+    # them raises instead of silently applying placeholder f0 statistics
+    mu = np.full(len(speakers), np.nan, np.float32)
     sd = np.ones(len(speakers), np.float32)
     for label, f0s in f0_by_speaker.items():
         mu[label], sd[label] = f0_statistics(f0s)
+    for label, name in enumerate(speakers):
+        if not np.isfinite(mu[label]):
+            print(f"[analyze] WARNING: no training utterances for speaker "
+                  f"{name!r}; f0 stats unavailable")
     corpus_io.save_f0_stats(etc, mu, sd)

@@ -7,8 +7,11 @@ pipeline is simpler and faster: load the (small) corpus' normalized-log-SP
 frames and labels into one host array once, then emit epoch-shuffled
 minibatches; the training loop puts them on device asynchronously
 (dispatch runs ahead of the device).  VCC2016's whole training split is
-~1M frames x 514 floats = ~2 GB — comfortably host-resident; a memory-map
-fallback covers larger corpora.
+~1M frames x 514 floats = ~2 GB — comfortably host-resident.  Memory
+behavior: only the sp+label columns are kept (half of each record);
+mmap=True reads source files through memmaps so raw-record pages are not
+doubly resident during loading; normalization happens per minibatch so no
+second full-corpus copy is ever made.
 """
 
 from __future__ import annotations
@@ -69,11 +72,14 @@ class FrameDataset:
             raise ValueError(
                 f"corpus has {n} frames < batch_size {batch_size}; "
                 "reduce batch_size or add data")
-        x = self.x if normalizer is None else normalizer.forward(
-            self.x).astype(np.float32)
         while True:
             perm = rng.permutation(n)
             end = n - n % batch_size if drop_remainder else n
             for i in range(0, end, batch_size):
                 idx = perm[i:i + batch_size]
-                yield native.gather_rows(x, idx), self.y[idx]
+                xb = native.gather_rows(self.x, idx)
+                if normalizer is not None:
+                    # per-minibatch normalization: avoids materializing a
+                    # second full-corpus array (~2 GB at VCC2016 scale)
+                    xb = normalizer.forward(xb).astype(np.float32)
+                yield xb, self.y[idx]

@@ -120,42 +120,6 @@ def _linear_smoothing(ps: jnp.ndarray, width: jnp.ndarray, fs: int,
     return jnp.maximum(sm, floor)
 
 
-def _smooth_and_dc_correct(ps: jnp.ndarray, f0: jnp.ndarray, fs: int,
-                           fft_size: int) -> jnp.ndarray:
-    """Linear smoothing (width 2 f0 / 3) + DC correction sharing ONE
-    quefrency transform.
-
-    Both operations act on the even periodic extension of ps: smoothing is
-    the sinc(pi w tau) diagonal, and the mirror-around-f0 replica is the
-    phase-ramp shift — so one forward rfft feeds both, and the replica is
-    taken of the SMOOTHED spectrum (c * m * ramp).  WORLD orders DC
-    correction before smoothing; commuting them changes only the bins
-    below f0 + w/2 by the smoothing of the correction itself (sub-dB,
-    round-trip tested) and saves one of CheapTrick's FFT stages.
-    """
-    half = fft_size // 2 + 1
-    df = fs / fft_size
-    width = 2.0 * f0 / 3.0
-    ext = jnp.concatenate([ps, ps[..., -2:0:-1]], axis=-1)   # even, len 1024
-    c = jnp.fft.rfft(ext, axis=-1)                           # [N, half]
-    tau = jnp.arange(half, dtype=ps.dtype) / fs
-    arg = jnp.pi * width[:, None] * tau[None, :]
-    m = jnp.where(arg > 1e-9, jnp.sin(arg) / jnp.maximum(arg, 1e-9), 1.0)
-    q = (f0 / df)[:, None]
-    mm = jnp.arange(half, dtype=ps.dtype)[None, :]
-    ramp = jnp.exp(-2j * jnp.pi * (mm * q) / fft_size)
-    both = jnp.fft.irfft(jnp.concatenate([c * m, c * m * ramp], axis=0),
-                         n=fft_size, axis=-1)[..., :half]
-    n = ps.shape[0]
-    sm = both[:n]
-    replica = jnp.maximum(both[n:], 0.0)     # band-limited shift may ring
-    freq = jnp.arange(half, dtype=ps.dtype) * df
-    below = freq[None, :] < f0[:, None]
-    out = jnp.where(below, sm + replica, sm)
-    floor = jnp.max(sm, axis=-1, keepdims=True) * 1e-9
-    return jnp.maximum(out, floor)
-
-
 def _lifter(log_ps_half: jnp.ndarray, f0: jnp.ndarray, fs: int,
             fft_size: int, q1: float) -> jnp.ndarray:
     """Cepstral liftering: smoothing lifter * compensation lifter.
@@ -216,10 +180,10 @@ def cheaptrick(x: jnp.ndarray, f0: jnp.ndarray,
     floor = jnp.max(ps, axis=-1, keepdims=True) * 1e-12 + SAFE_GUARD_MINIMUM
     ps = ps + floor
     # NOTE: DC correction must precede smoothing (WORLD's order).  A fused
-    # smooth-then-correct variant (_smooth_and_dc_correct) saves one FFT
-    # but its below-f0 log-domain differences leak across the whole
-    # envelope through the cepstral lifter (multi-dB) — kept for reference,
-    # not used.
+    # smooth-then-correct variant sharing one quefrency transform saves one
+    # FFT, but its below-f0 log-domain differences leak across the whole
+    # envelope through the cepstral lifter (multi-dB) — measured and
+    # rejected (see git history).
     ps = _dc_correction(ps, f0_eff, fs, fft_size)
     ps = _linear_smoothing(ps, 2.0 * f0_eff / 3.0, fs, fft_size)
     env = _lifter(jnp.log(ps), f0_eff, fs, fft_size, CHEAPTRICK_Q1)

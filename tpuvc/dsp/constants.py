@@ -43,10 +43,16 @@ DIO_CHANNELS_IN_OCTAVE = 2.0    # WORLD default
 DIO_ALLOWED_RANGE = 0.1         # FixF0Contour step tolerance
 DIO_TARGET_FS = 4000.0          # decimated analysis rate (fs / decimation)
 DIO_VOICE_RANGE_MINIMUM = 9     # min voiced run, frames (~45ms), WORLD step2
+DIO_SCORE_CUTOFF = 0.2          # relative 4-estimator deviation above which
+#   a frame is unvoiced before contour fixing (DIO folds this into
+#   candidate scoring; kept explicit here)
 
 # --- StoneMask (f0 refinement) ---
 STONEMASK_NUM_HARMONICS = 6     # harmonics used in IF-weighted refinement
 STONEMASK_RELATIVE_LIMIT = 0.2  # reject refinement deviating >20% from DIO
+STONEMASK_FFT_SIZE = 1024       # covers 3 periods at f0_floor=71, fs=16k
+#   (679 samples); WORLD pads more for interpolation resolution, but the
+#   IF-weighted refinement is accuracy-equivalent at 1024 (tests/test_f0)
 
 # --- CheapTrick (spectral envelope) ---
 CHEAPTRICK_Q1 = -0.15           # liftering compensation coefficient
@@ -69,7 +75,16 @@ D4C_FREQUENCY_INTERVAL = 3000.0  # Hz between coarse-band centers
 D4C_UPPER_LIMIT = 15000.0       # Hz cap on coarse bands
 D4C_FLOOR_DB = -60.0            # aperiodicity at DC (dB)
 D4C_CEIL_DB = -1e-12            # aperiodicity at Nyquist (dB)
+D4C_FFT_SIZE = 2048             # covers the 4-period window at f0_floor=71
+#   plus the max autocorrelation lag fs/f0_floor without circular wrap
+#   (3-period/1024 variant measured +0.3 dB round-trip MCD — rejected)
+D4C_UNVOICED_PLACEHOLDER_F0 = 150.0  # lag used for frames later masked as
+#   fully aperiodic (value is irrelevant; must be a valid lag)
 SAFE_GUARD_MINIMUM = 1e-12
+
+# largest analysis window across all stages (D4C window); the halo size for
+# frame-blocked sharding (parallel/frame_sharding.py) derives from it
+MAX_ANALYSIS_WINDOW = D4C_FFT_SIZE
 
 
 def d4c_num_bands(fs: int) -> int:

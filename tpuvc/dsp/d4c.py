@@ -24,13 +24,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpuvc.dsp.constants import (D4C_CEIL_DB, D4C_FLOOR_DB,
+from tpuvc.dsp.constants import (D4C_CEIL_DB, D4C_FFT_SIZE, D4C_FLOOR_DB,
                                  D4C_FREQUENCY_INTERVAL, D4C_THRESHOLD,
+                                 D4C_UNVOICED_PLACEHOLDER_F0,
                                  DEFAULT_WORLD, WorldConfig, d4c_num_bands)
 from tpuvc.dsp.interp import interp_uniform
 from tpuvc.ops.framing import frame_signal
 
-_FFT_SIZE = 2048  # covers 4 periods at f0_floor=71, fs=16k (901 samples)
+_FFT_SIZE = D4C_FFT_SIZE
 
 
 def _windowed_power_spectrum(x: jnp.ndarray, f0: jnp.ndarray,
@@ -74,7 +75,7 @@ def d4c(x: jnp.ndarray, f0: jnp.ndarray, hop: int = DEFAULT_WORLD.hop,
     f0 = f0.astype(jnp.float32)
     half = fft_size // 2 + 1
     n_bands = d4c_num_bands(fs)
-    f0_eff = jnp.where(f0 > 0, f0, 150.0)  # placeholder lag; masked below
+    f0_eff = jnp.where(f0 > 0, f0, D4C_UNVOICED_PLACEHOLDER_F0)
 
     ps = _windowed_power_spectrum(x, f0_eff, hop, fs)
 

@@ -32,12 +32,9 @@ import jax.numpy as jnp
 
 from tpuvc.dsp import filters
 from tpuvc.dsp.constants import (DIO_ALLOWED_RANGE, DIO_CHANNELS_IN_OCTAVE,
-                                 DIO_TARGET_FS, DIO_VOICE_RANGE_MINIMUM,
-                                 DEFAULT_WORLD, WorldConfig)
-
-# relative four-estimator deviation above which a frame is unvoiced before
-# contour fixing (DIO folds this into candidate scoring; kept explicit here)
-DIO_SCORE_CUTOFF = 0.2
+                                 DIO_SCORE_CUTOFF, DIO_TARGET_FS,
+                                 DIO_VOICE_RANGE_MINIMUM, DEFAULT_WORLD,
+                                 WorldConfig)
 
 
 def _boundary_f0s(f0_floor: float, f0_ceil: float) -> tuple[float, ...]:

@@ -24,17 +24,3 @@ def interp_uniform(fp: jnp.ndarray, x_over_dx: jnp.ndarray) -> jnp.ndarray:
     f0 = jnp.take_along_axis(fp, i0, axis=-1)
     f1 = jnp.take_along_axis(fp, i1, axis=-1)
     return f0 * (1.0 - w) + f1 * w
-
-
-def interp_sorted(x: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndarray:
-    """``jnp.interp``-like 1-D interpolation with clamping, via searchsorted.
-
-    ``xp`` must be non-decreasing.  All arrays 1-D; returns fp(x).
-    """
-    n = xp.shape[0]
-    j = jnp.clip(jnp.searchsorted(xp, x, side="right") - 1, 0, n - 2)
-    x0 = xp[j]
-    x1 = xp[j + 1]
-    denom = jnp.where(x1 > x0, x1 - x0, 1.0)
-    w = jnp.clip((x - x0) / denom, 0.0, 1.0)
-    return fp[j] * (1.0 - w) + fp[j + 1] * w

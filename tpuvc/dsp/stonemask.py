@@ -24,12 +24,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpuvc.dsp.constants import (DEFAULT_WORLD, STONEMASK_NUM_HARMONICS,
+from tpuvc.dsp.constants import (DEFAULT_WORLD, STONEMASK_FFT_SIZE,
+                                 STONEMASK_NUM_HARMONICS,
                                  STONEMASK_RELATIVE_LIMIT, WorldConfig)
 from tpuvc.dsp.interp import interp_uniform
 from tpuvc.ops.framing import frame_signal
 
-_FFT_SIZE = 1024  # covers 3 periods at f0_floor=71, fs=16k (679 samples)
+_FFT_SIZE = STONEMASK_FFT_SIZE
 
 
 def _refine_once(x: jnp.ndarray, f0: jnp.ndarray, hop: int,

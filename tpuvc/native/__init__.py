@@ -92,9 +92,15 @@ def read_f32_native(path: str) -> np.ndarray | None:
 
 def gather_rows(src: np.ndarray, idx: np.ndarray,
                 n_threads: int | None = None) -> np.ndarray:
-    """out[i] = src[idx[i]] — native parallel gather with numpy fallback."""
+    """out[i] = src[idx[i]] — native parallel gather with numpy fallback.
+
+    Out-of-range indices raise IndexError on BOTH paths (the C side would
+    zero-fill, which could silently mask data-pipeline bugs)."""
     src = np.ascontiguousarray(src, np.float32)
     idx64 = np.ascontiguousarray(idx, np.int64)
+    if idx64.size and (idx64.min() < 0 or idx64.max() >= src.shape[0]):
+        raise IndexError(
+            f"gather_rows: indices out of range [0, {src.shape[0]})")
     lib = _load()
     if lib is None:
         return src[idx64]

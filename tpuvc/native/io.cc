@@ -54,6 +54,10 @@ int64_t tpuvc_wav_read_pcm16(const char* path, float* out,
       }
       if (size > 16) fseek(f, size - 16, SEEK_CUR);
     } else if (!memcmp(chunk, "data", 4)) {
+      if (channels == 0) {  // data chunk before fmt, or fmt missing:
+        fclose(f);          // bail out so the caller's fallback reader runs
+        return -1;
+      }
       int64_t frames = size / (2 * channels);
       if (frames > max_samples) frames = max_samples;
       std::vector<int16_t> buf(static_cast<size_t>(frames) * channels);
@@ -117,14 +121,6 @@ void tpuvc_gather_rows(const float* src, int64_t n_rows, int64_t row_dim,
     ts.emplace_back(work, lo, hi);
   }
   for (auto& t : ts) t.join();
-}
-
-// Strided column slice + cast gather used when loading sp+label columns
-// from [n, record_dim] records: out[i, :] = src[i, col0:col0+width].
-void tpuvc_slice_cols(const float* src, int64_t n_rows, int64_t row_dim,
-                      int64_t col0, int64_t width, float* out) {
-  for (int64_t i = 0; i < n_rows; ++i)
-    memcpy(out + i * width, src + i * row_dim + col0, sizeof(float) * width);
 }
 
 }  // extern "C"

@@ -26,14 +26,15 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from tpuvc.dsp.cheaptrick import cheaptrick
-from tpuvc.dsp.constants import DEFAULT_WORLD, WorldConfig
+from tpuvc.dsp.constants import (MAX_ANALYSIS_WINDOW, DEFAULT_WORLD,
+                                 WorldConfig)
 from tpuvc.dsp.d4c import d4c
 from tpuvc.dsp.dio import dio
 from tpuvc.dsp.stonemask import stonemask
 from tpuvc.dsp.world import WorldFeatures
 from tpuvc.parallel.mesh import DATA_AXIS
 
-_WINDOW = 2048  # largest analysis window (StoneMask / D4C FFT size)
+_WINDOW = MAX_ANALYSIS_WINDOW
 
 
 def analyze_sharded(x: jnp.ndarray, mesh,

@@ -30,16 +30,3 @@ def trace(logdir: str | None):
 def enable_debug_checks() -> None:
     """Fail fast on NaNs produced inside jit-compiled code."""
     jax.config.update("jax_debug_nans", True)
-
-
-@contextlib.contextmanager
-def wall_timer():
-    """Times a block with device-sync semantics: call .seconds after."""
-    class T:
-        seconds = 0.0
-    t = T()
-    t0 = time.perf_counter()
-    try:
-        yield t
-    finally:
-        t.seconds = time.perf_counter() - t0
