@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> list[str]:
     p.add_argument("--save_spectrogram", action="store_true",
                    help="also write a jet spectrogram PNG per converted wav "
                         "(reference util/image.py summaries)")
+    p.add_argument("--streaming", action="store_true",
+                   help="convert through the chunked streaming path "
+                        "(fixed compile, bounded latency; convert/streaming"
+                        ".py) instead of whole-utterance graphs")
+    p.add_argument("--chunk_s", type=float, default=1.0,
+                   help="streaming chunk seconds (with --streaming)")
     add_platform_flag(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -124,9 +130,17 @@ def main(argv: list[str] | None = None) -> list[str]:
         raise FileNotFoundError(
             f"no wavs for speaker {args.src} in split {split!r}")
     outputs = []
+    streamer = None
+    if args.streaming:
+        from tpuvc.convert.streaming import StreamingConverter
+        streamer = lambda x: _stream_one(converter, x, args)  # noqa: E731
     for w in wavs:
         x, fs = read_wav(w)
-        y = converter.convert(x, args.src, args.trg, seed=args.seed, fs=fs)
+        converter._check_fs(fs)
+        if streamer is not None:
+            y = streamer(x)
+        else:
+            y = converter.convert(x, args.src, args.trg, seed=args.seed)
         out = os.path.join(
             out_dir, f"{args.trg}-{os.path.splitext(os.path.basename(w))[0]}"
                      ".wav")
@@ -137,6 +151,15 @@ def main(argv: list[str] | None = None) -> list[str]:
         print(f"[convert] step{step} {args.src}->{args.trg} "
               f"{os.path.basename(w)} -> {out}")
     return outputs
+
+
+def _stream_one(converter, x, args):
+    import numpy as np
+
+    from tpuvc.convert.streaming import StreamingConverter
+    s = StreamingConverter(converter, args.src, args.trg,
+                           chunk_s=args.chunk_s, seed=args.seed)
+    return np.concatenate([s.push(x), s.flush()])
 
 
 def _save_spectrogram_png(wav_path: str, y, fs: int) -> None:
