@@ -73,3 +73,16 @@ def test_streaming_output_resembles_batch_output(converter):
     mid = slice(nf // 4, 3 * nf // 4)
     diff = np.abs(sp_f[mid].mean(0) - sp_s[mid].mean(0))
     assert diff.mean() < 3.0, f"mean envelope diff {diff.mean():.1f} dB"
+
+
+def test_long_utterance_multi_bucket(converter):
+    """Utterances longer than one padding bucket convert correctly (the
+    whole-utterance path compiles one graph per distinct bucket count)."""
+    cfg = DEFAULT_WORLD
+    x = make_harmonic(160.0, fs=cfg.fs, dur_s=2.7, n_harm=6, noise=0.003)
+    y = converter.convert(x, "A", "B")
+    assert len(y) == len(x)
+    assert np.all(np.isfinite(y)) and np.std(y) > 1e-4
+    # sample-rate guard raises
+    with pytest.raises(ValueError, match="sample rate"):
+        converter.convert(x, "A", "B", fs=22050)
