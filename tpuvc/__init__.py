@@ -22,3 +22,24 @@ Layout (see SURVEY.md for the reference layer map this mirrors):
 """
 
 __version__ = "0.1.0"
+
+_EXPORTS = {
+    "analyze": ("tpuvc.dsp.world", "analyze"),
+    "analyze_batch": ("tpuvc.dsp.world", "analyze_batch"),
+    "synthesize": ("tpuvc.dsp.synthesis", "synthesize"),
+    "WorldConfig": ("tpuvc.dsp.constants", "WorldConfig"),
+    "Converter": ("tpuvc.convert.pipeline", "Converter"),
+    "StreamingConverter": ("tpuvc.convert.streaming", "StreamingConverter"),
+    "Architecture": ("tpuvc.utils.config", "Architecture"),
+    "make_model": ("tpuvc.models.vae", "make_model"),
+    "make_trainer": ("tpuvc.train.trainer", "make_trainer"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import time)."""
+    if name in _EXPORTS:
+        import importlib
+        module, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'tpuvc' has no attribute {name!r}")
