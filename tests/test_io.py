@@ -78,6 +78,36 @@ def test_grain_pipeline_batches():
     np.testing.assert_array_equal(yb, yb2)
 
 
+def test_batch_stream_skip_matches_consumption():
+    """skip(n) lands the stream exactly where n next() calls would."""
+    from tpuvc.data.dataset import FrameDataset
+    rng = np.random.default_rng(3)
+    ds = FrameDataset(x=rng.standard_normal((50, 4)).astype(np.float32),
+                      y=np.arange(50, dtype=np.int32))
+    for n_skip in (1, 3, 7, 12):  # 12 crosses an epoch boundary (bs=16)
+        a = ds.batches(batch_size=16, seed=9)
+        b = ds.batches(batch_size=16, seed=9)
+        for _ in range(n_skip):
+            next(a)
+        b.skip(n_skip)
+        xa, ya = next(a)
+        xb, yb = next(b)
+        np.testing.assert_array_equal(ya, yb)
+        np.testing.assert_array_equal(xa, xb)
+
+
+def test_from_bin_dir_rejects_truncated_record(tmp_path):
+    import pytest
+
+    from tpuvc.data.dataset import FrameDataset
+    from tpuvc.io import corpus as corpus_io
+    d = tmp_path / "bin" / corpus_io.TRAIN_SPLIT / "SF1"
+    d.mkdir(parents=True)
+    np.zeros(RECORD_DIM * 2 + 5, np.float32).tofile(d / "bad.bin")
+    with pytest.raises(ValueError, match="bad.bin"):
+        FrameDataset.from_bin_dir(str(tmp_path))
+
+
 def test_dataset_batches_rejects_tiny_corpus():
     import pytest
 

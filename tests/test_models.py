@@ -98,6 +98,51 @@ def test_decoder_conditions_on_speaker(small_arch):
     assert float(jnp.max(jnp.abs(x0 - x1))) > 1e-4
 
 
+def test_conditional_critic_uses_speaker_code(small_arch):
+    """d_conditional=True: same frame, different y -> different score;
+    the default (unconditional, reference parity) ignores y entirely."""
+    import dataclasses
+    cond_arch = dataclasses.replace(small_arch, d_conditional=True)
+    model = VAWGAN(arch=cond_arch)
+    params = init_params(model, cond_arch, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, cond_arch.x_dim))
+    y0 = jnp.zeros((3,), jnp.int32)
+    y1 = jnp.ones((3,), jnp.int32)
+    s0 = model.apply(params, x, y0, method=VAWGAN.discriminate)
+    s1 = model.apply(params, x, y1, method=VAWGAN.discriminate)
+    assert float(jnp.max(jnp.abs(s0 - s1))) > 1e-5
+
+    uncond = VAWGAN(arch=small_arch)
+    p2 = init_params(uncond, small_arch, jax.random.PRNGKey(0))
+    u0 = uncond.apply(p2, x, y0, method=VAWGAN.discriminate)
+    u1 = uncond.apply(p2, x, y1, method=VAWGAN.discriminate)
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
+
+
+def test_conditional_vawgan_step_runs(small_arch):
+    """One jitted VAWGAN step trains with the conditional critic."""
+    import dataclasses
+
+    from tpuvc.train import steps as steps_lib
+    cond_arch = dataclasses.replace(small_arch, d_conditional=True)
+    model = VAWGAN(arch=cond_arch)
+    state = steps_lib.init_vawgan_state(model, cond_arch,
+                                        jax.random.PRNGKey(0))
+    step_fn = steps_lib.make_vawgan_step(model, cond_arch)
+    n_unroll = cond_arch.training.n_unroll
+    rng = np.random.default_rng(0)
+    x_crit = jnp.asarray(rng.standard_normal(
+        (n_unroll, 8, cond_arch.x_dim)), jnp.float32)
+    y_crit = jnp.zeros((n_unroll, 8), jnp.int32)
+    x_gen = jnp.asarray(rng.standard_normal((8, cond_arch.x_dim)),
+                        jnp.float32)
+    y_gen = jnp.ones((8,), jnp.int32)
+    _, m = step_fn(state, x_crit, y_crit, x_gen, y_gen,
+                   jax.random.PRNGKey(1))
+    for k in ("W_dist", "GP", "l_D", "l_G"):
+        assert np.isfinite(float(m[k])), k
+
+
 def test_full_arch_output_is_513(arch):
     model = make_model(arch)
     params = init_params(model, arch, jax.random.PRNGKey(0))

@@ -30,10 +30,23 @@ def main(argv: list[str] | None = None) -> None:
     apply_platform(args)
 
     from tpuvc.data.analyze_corpus import analyze_corpus
-    from tpuvc.dsp.constants import WorldConfig
+    from tpuvc.dsp.constants import SP_DIM, WorldConfig, cheaptrick_fft_size
     from tpuvc.io import corpus as corpus_io
 
-    cfg = WorldConfig(fs=args.fs, frame_period_ms=args.frame_period_ms)
+    # Derive the FFT size from fs (WORLD's rule) instead of silently keeping
+    # the 16 kHz default: at e.g. fs=44100 a 1024-point FFT raises
+    # CheapTrick's f0 low limit above genuinely voiced frames.  The .bin
+    # record format (SURVEY.md SS2.1) pins SP_DIM=513, so sample rates whose
+    # derived geometry differs are rejected rather than silently degraded.
+    fft_size = cheaptrick_fft_size(args.fs)
+    if fft_size // 2 + 1 != SP_DIM:
+        p.error(
+            f"fs={args.fs} requires fft_size={fft_size} "
+            f"({fft_size // 2 + 1} spectral bins), but the reference record "
+            f"format is pinned at {SP_DIM} bins (fft 1024); supported rates "
+            f"satisfy cheaptrick_fft_size(fs) == 1024 (e.g. 16000, 22050)")
+    cfg = WorldConfig(fs=args.fs, frame_period_ms=args.frame_period_ms,
+                      fft_size=fft_size)
     splits = {"train": (corpus_io.TRAIN_SPLIT,),
               "test": (corpus_io.TEST_SPLIT,),
               "both": (corpus_io.TRAIN_SPLIT, corpus_io.TEST_SPLIT)}[

@@ -46,7 +46,12 @@ class StreamingConverter:
         self._buf = np.zeros(0, np.float32)   # pending input samples
         self._tail = np.zeros(0, np.float32)  # converted halo to crossfade
         self._pos = 0                          # chunks processed
-        self._xfade = np.linspace(0.0, 1.0, self.halo, dtype=np.float32)
+        # equal-power crossfade (sin/cos): the joined signals are only
+        # weakly correlated (per-chunk re-integrated excitation phase), so
+        # equal-amplitude linear ramps would dip up to ~3 dB mid-fade
+        theta = np.linspace(0.0, np.pi / 2.0, self.halo, dtype=np.float32)
+        self._xf_new = np.sin(theta)
+        self._xf_old = np.cos(theta)
 
     def _convert_window(self, window: np.ndarray) -> np.ndarray:
         y = self.conv.convert(window, self.src, self.trg,
@@ -61,8 +66,8 @@ class StreamingConverter:
         out = seg[: keep].copy()
         if self._tail.size:
             n = min(self._tail.size, out.size, self.halo)
-            w = self._xfade[:n]
-            out[:n] = self._tail[:n] * (1.0 - w) + out[:n] * w
+            out[:n] = (self._tail[:n] * self._xf_old[:n]
+                       + out[:n] * self._xf_new[:n])
         self._tail = seg[keep: keep + self.halo].copy()
         return out
 
@@ -95,8 +100,8 @@ class StreamingConverter:
         out = y[lead:].copy()
         if self._tail.size:
             n = min(self._tail.size, out.size, self.halo)
-            w = self._xfade[:n]
-            out[:n] = self._tail[:n] * (1.0 - w) + out[:n] * w
+            out[:n] = (self._tail[:n] * self._xf_old[:n]
+                       + out[:n] * self._xf_new[:n])
         self._buf = np.zeros(0, np.float32)
         self._tail = np.zeros(0, np.float32)
         return out

@@ -49,6 +49,11 @@ class FrameDataset:
                 raw = native.read_f32_native(p)
                 if raw is None:
                     raw = np.fromfile(p, dtype=np.float32)
+            if raw.size % RECORD_DIM != 0:
+                raise ValueError(
+                    f"{p}: {raw.size} floats is not a multiple of "
+                    f"RECORD_DIM={RECORD_DIM} — truncated or corrupt record "
+                    f"file")
             rec = raw.reshape(-1, RECORD_DIM)
             xs.append(np.asarray(rec[:, :SP_DIM], np.float32))
             ys.append(np.asarray(rec[:, FEAT_DIM], np.int32))
@@ -62,24 +67,58 @@ class FrameDataset:
 
     def batches(self, batch_size: int, seed: int = 0, normalizer:
                 Tanhize | None = None,
-                drop_remainder: bool = True) -> Iterator[tuple[np.ndarray,
-                                                               np.ndarray]]:
-        """Infinite epoch-shuffled minibatch stream."""
-        from tpuvc import native
-        rng = np.random.default_rng(seed)
+                drop_remainder: bool = True) -> "BatchStream":
+        """Infinite epoch-shuffled minibatch stream (supports cheap skip)."""
         n = len(self)
         if n < batch_size:
             raise ValueError(
                 f"corpus has {n} frames < batch_size {batch_size}; "
                 "reduce batch_size or add data")
-        while True:
-            perm = rng.permutation(n)
-            end = n - n % batch_size if drop_remainder else n
-            for i in range(0, end, batch_size):
-                idx = perm[i:i + batch_size]
-                xb = native.gather_rows(self.x, idx)
-                if normalizer is not None:
-                    # per-minibatch normalization: avoids materializing a
-                    # second full-corpus array (~2 GB at VCC2016 scale)
-                    xb = normalizer.forward(xb).astype(np.float32)
-                yield xb, self.y[idx]
+        return BatchStream(self, batch_size, seed, normalizer, drop_remainder)
+
+
+class BatchStream:
+    """Infinite epoch-shuffled minibatch iterator over a FrameDataset.
+
+    ``skip(n)`` advances the stream by n batches WITHOUT gathering data —
+    O(batches skipped / epoch) permutation draws — so a checkpoint-resumed
+    trainer can continue the input stream exactly where it left off instead
+    of re-consuming the earliest batches (the permutation sequence is a pure
+    function of the seed, so position == stream state).
+    """
+
+    def __init__(self, ds: FrameDataset, batch_size: int, seed: int,
+                 normalizer: Tanhize | None, drop_remainder: bool):
+        self._ds = ds
+        self._bs = batch_size
+        self._norm = normalizer
+        self._rng = np.random.default_rng(seed)
+        n = len(ds)
+        self._end = n - n % batch_size if drop_remainder else n
+        self._perm = self._rng.permutation(n)
+        self._i = 0
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        return self
+
+    def _advance_epoch(self) -> None:
+        if self._i >= self._end:
+            self._perm = self._rng.permutation(len(self._ds))
+            self._i = 0
+
+    def skip(self, n_batches: int) -> None:
+        for _ in range(n_batches):
+            self._advance_epoch()
+            self._i += self._bs
+
+    def __next__(self) -> tuple[np.ndarray, np.ndarray]:
+        from tpuvc import native
+        self._advance_epoch()
+        idx = self._perm[self._i:self._i + self._bs]
+        self._i += self._bs
+        xb = native.gather_rows(self._ds.x, idx)
+        if self._norm is not None:
+            # per-minibatch normalization: avoids materializing a second
+            # full-corpus array (~2 GB at VCC2016 scale)
+            xb = self._norm.forward(xb).astype(np.float32)
+        return xb, self._ds.y[idx]

@@ -25,18 +25,26 @@ from tpuvc.data.normalizer import Tanhize
 
 
 class _FrameSource:
-    """Grain RandomAccessDataSource over normalized frames."""
+    """Grain RandomAccessDataSource over frames, normalized per item.
+
+    Normalization happens in __getitem__ so no second full-corpus copy is
+    materialized — this path is the one advertised for larger-than-memory
+    corpora, where an up-front full-array transform would defeat it.
+    """
 
     def __init__(self, ds: FrameDataset, normalizer: Tanhize | None):
-        self._x = (ds.x if normalizer is None
-                   else normalizer.forward(ds.x).astype(np.float32))
+        self._x = ds.x
         self._y = ds.y
+        self._norm = normalizer
 
     def __len__(self) -> int:
         return self._x.shape[0]
 
     def __getitem__(self, i):
-        return self._x[i], self._y[i]
+        x = self._x[i]
+        if self._norm is not None:
+            x = self._norm.forward(x).astype(np.float32)
+        return x, self._y[i]
 
 
 def grain_batches(ds: FrameDataset, batch_size: int, seed: int = 0,

@@ -166,9 +166,10 @@ def synthesize(f0: jnp.ndarray, sp: jnp.ndarray, ap: jnp.ndarray,
     sp = sp.astype(jnp.float32)
     ap = ap.astype(jnp.float32)
 
-    if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype,
-                                                      jnp.unsignedinteger):
-        key = seed  # already a PRNG key
+    if isinstance(seed, jax.Array) and (
+            jax.dtypes.issubdtype(seed.dtype, jax.dtypes.prng_key)
+            or jnp.issubdtype(seed.dtype, jnp.unsignedinteger)):
+        key = seed  # already a PRNG key (typed new-style or raw uint32)
     else:
         key = jax.random.PRNGKey(seed)
     pulses, noise = _excitation(f0, n_samples, hop, fs, key)

@@ -49,16 +49,18 @@ def wasserstein_distance(d_real: jnp.ndarray,
     return jnp.mean(d_real) - jnp.mean(d_fake)
 
 
-def gradient_penalty(critic: Callable[[jnp.ndarray], jnp.ndarray],
+def gradient_penalty(critic: Callable[..., jnp.ndarray],
                      rng: jax.Array, x_real: jnp.ndarray,
-                     x_fake: jnp.ndarray) -> jnp.ndarray:
+                     x_fake: jnp.ndarray, *cond: jnp.ndarray) -> jnp.ndarray:
     """WGAN-GP: E[(||grad_x D(x_interp)|| - 1)^2].
 
-    ``critic`` maps a single sample [d] -> scalar; vmapped over the batch.
+    ``critic`` maps a single sample [d] (+ per-sample conditioning args)
+    -> scalar; vmapped over the batch.  The gradient is taken w.r.t. the
+    interpolated sample only.
     """
     eps = jax.random.uniform(rng, (x_real.shape[0],) + (1,) *
                              (x_real.ndim - 1), x_real.dtype)
     x_hat = eps * x_real + (1.0 - eps) * x_fake
-    grads = jax.vmap(jax.grad(critic))(x_hat)
+    grads = jax.vmap(jax.grad(critic))(x_hat, *cond)
     norms = jnp.sqrt(jnp.sum(grads * grads, axis=-1) + 1e-12)
     return jnp.mean((norms - 1.0) ** 2)

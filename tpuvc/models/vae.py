@@ -138,18 +138,33 @@ class Decoder(nn.Module):
 
 
 class Critic(nn.Module):
-    """Wasserstein critic x [B, 513] -> score [B] (reference _discriminate)."""
+    """Wasserstein critic x [B, 513] -> score [B] (reference _discriminate).
+
+    The reference critic takes only ``x`` (SURVEY.md SS2.1 flags the y-
+    conditioning as an open question — `_discriminate(x, y?)`); that is the
+    parity default.  With ``arch.d_conditional`` the speaker code enters as
+    a projection term score += <embed(y), features> (cGAN projection
+    discriminator, Miyato & Koyama 2018) — stronger than input concat and
+    leaves the conv stack's parameter tree unchanged.
+    """
 
     arch: Architecture
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 y: jnp.ndarray | None = None) -> jnp.ndarray:
         h = x[..., None].astype(self.dtype)
         h = ConvStack(self.arch.discriminator, self.arch.lrelu_slope,
                       self.dtype, self.arch.conv_impl)(h)
         h = h.reshape(h.shape[0], -1)
-        return nn.Dense(1, dtype=self.dtype)(h)[..., 0].astype(jnp.float32)
+        score = nn.Dense(1, dtype=self.dtype)(h)[..., 0]
+        if self.arch.d_conditional and y is not None:
+            feat = nn.Dense(self.arch.y_emb_dim, dtype=self.dtype)(h)
+            emb = nn.Embed(self.arch.y_dim, self.arch.y_emb_dim,
+                           dtype=self.dtype)(y)
+            score = score + jnp.sum(feat * emb, axis=-1)
+        return score.astype(jnp.float32)
 
 
 class CVAE(nn.Module):
@@ -203,15 +218,15 @@ class VAWGAN(nn.Module):
     def decode(self, z, y):
         return self.decoder(z, y)
 
-    def discriminate(self, x):
-        return self.critic(x)
+    def discriminate(self, x, y=None):
+        return self.critic(x, y)
 
     def __call__(self, x, y, rng):
         mu, lv = self.encoder(x)
         z = losses.reparameterize(rng, mu, lv)
         xh = self.decoder(z, y)
         return {"z_mu": mu, "z_lv": lv, "z": z, "xh": xh,
-                "d_real": self.critic(x), "d_fake": self.critic(xh)}
+                "d_real": self.critic(x, y), "d_fake": self.critic(xh, y)}
 
 
 def make_model(arch: Architecture, dtype: Dtype | None = None) -> nn.Module:

@@ -93,14 +93,14 @@ def make_vawgan_step(model: VAWGAN, arch: Architecture) -> Callable:
         out = apply_fwd(params, x, y, rng)
         xh = jax.lax.stop_gradient(out["xh"])
         d_real = out["d_real"]
-        d_fake = model.apply(params, xh, method=VAWGAN.discriminate)
+        d_fake = model.apply(params, xh, y, method=VAWGAN.discriminate)
         w = losses.wasserstein_distance(d_real, d_fake)
 
-        def critic_single(xi):
-            return model.apply(params, xi[None],
+        def critic_single(xi, yi):
+            return model.apply(params, xi[None], yi[None],
                                method=VAWGAN.discriminate)[0]
 
-        gp = losses.gradient_penalty(critic_single, rng_gp, x, xh)
+        gp = losses.gradient_penalty(critic_single, rng_gp, x, xh, y)
         loss = -w + t.gp_lambda * gp
         return loss, {"W_dist": w, "GP": gp, "l_D": loss}
 

@@ -9,6 +9,8 @@ summary_freq steps — all math is in the single compiled step.
 
 from __future__ import annotations
 
+import itertools
+import logging
 import os
 from typing import Any, Iterator
 
@@ -36,7 +38,8 @@ class _BaseTrainer:
         self.ckpt = Checkpointer(os.path.join(run_dir, "ckpt"))
         self.state: Any = None
 
-    def _resume(self) -> int:
+    def _resume(self, batches: Iterator | None = None,
+                batches_per_step: int = 1) -> int:
         restored = self.ckpt.restore_latest(jax.device_get(self.state))
         step = 0
         if restored is not None:
@@ -45,6 +48,15 @@ class _BaseTrainer:
         # a single device; replicate over the mesh so sharded batches compose
         self.state = jax.device_put(self.state,
                                     mesh_lib.replicated(self.mesh))
+        if step and batches is not None:
+            # continue the input stream where the checkpoint left off rather
+            # than re-consuming the seed's earliest batches; BatchStream.skip
+            # advances without gathering, other iterators are drained
+            n = int(step) * batches_per_step
+            if hasattr(batches, "skip"):
+                batches.skip(n)
+            else:
+                next(itertools.islice(batches, n - 1, n), None)
         return int(step)
 
     def _put_batch(self, *arrays, batch_axis: int = 0):
@@ -62,7 +74,13 @@ class _BaseTrainer:
             self.writer.spectrogram(step, "x_recon",
                                     np.asarray(out["xh"]), log_input=False)
         except Exception:
-            pass  # summaries must never take down training
+            # summaries must never take down training, but silent failure
+            # forever is how observability rots: warn once per run
+            if not getattr(self, "_spectrogram_warned", False):
+                self._spectrogram_warned = True
+                logging.getLogger(__name__).warning(
+                    "spectrogram summaries failed at step %d; suppressing "
+                    "further attempts' errors", step, exc_info=True)
 
     def close(self):
         self.ckpt.wait()
@@ -84,7 +102,7 @@ class VAETrainer(_BaseTrainer):
         t = self.arch.training
         log_every = log_every or t.summary_freq
         save_every = save_every or t.save_freq
-        start = self._resume()
+        start = self._resume(batches, batches_per_step=1)
         metrics = {}
         for step in range(start, total_steps):
             x, y = next(batches)
@@ -117,7 +135,7 @@ class VAWGANTrainer(_BaseTrainer):
         n_unroll = t.n_unroll
         log_every = log_every or t.summary_freq
         save_every = save_every or t.save_freq
-        start = self._resume()
+        start = self._resume(batches, batches_per_step=n_unroll + 1)
         metrics = {}
         for step in range(start, total_steps):
             xs, ys = [], []

@@ -3,8 +3,9 @@
 The reference drives everything from an ``architecture-vawgan-vcc2016.json``
 file (layer specs + training block) plus CLI flags; model/trainer classes are
 chosen dynamically by string name.  We keep the same two tiers — CLI flags +
-one JSON — but resolve names through an explicit registry
-(:mod:`tpuvc.utils.registry`) instead of importlib strings.
+one JSON — but resolve names through explicit registry dicts
+(``tpuvc.models.vae.make_model``, ``tpuvc.train.trainer.TRAINERS``) instead
+of importlib strings.
 
 The JSON schema accepted here is a superset of the reference's (reconstructed;
 the reference mount was empty — SURVEY.md provenance note): per-net
@@ -88,6 +89,10 @@ class Architecture:
     generator: NetSpec = NetSpec((7, 7, 7, 7, 7), (3, 3, 3, 1, 1),
                                  (128, 64, 32, 16, 1))
     discriminator: NetSpec = NetSpec((7, 7, 7), (3, 3, 3), (16, 32, 64))
+    d_conditional: bool = False           # speaker-condition the critic
+    #   (SURVEY.md SS2.1 writes `_discriminate(x, y?)`: the reference's
+    #   critic signature takes only x, so False is the parity default; the
+    #   flag enables y-conditioning for ablation — see docs/STATUS.md)
     lrelu_slope: float = 0.2
     compute_dtype: str = "float32"        # "bfloat16" for TPU inference
     conv_impl: str = "xla"                # "pallas": fused conv+LN+lrelu
@@ -99,7 +104,8 @@ class Architecture:
     def from_json(d: dict[str, Any]) -> "Architecture":
         kw: dict[str, Any] = {}
         for key in ("model", "trainer", "x_dim", "z_dim", "y_dim", "y_emb_dim",
-                    "lrelu_slope", "compute_dtype", "conv_impl"):
+                    "d_conditional", "lrelu_slope", "compute_dtype",
+                    "conv_impl"):
             if key in d:
                 kw[key] = d[key]
         # reference alias: "hwc": [513, 1, 1]
