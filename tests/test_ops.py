@@ -30,7 +30,7 @@ def test_fft_smoothing_matches_box_average():
     """FFT sinc-multiply smoothing == direct mirror-boundary box average."""
     import jax.numpy as jnp
 
-    from tpuvc.dsp.cheaptrick import _linear_smoothing
+    from tpuvc.dsp.spectral import linear_smoothing as _linear_smoothing
 
     fs, fft_size = 16000, 1024
     half = fft_size // 2 + 1

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from tpuvc.dsp.constants import (CHEAPTRICK_DEFAULT_F0, CHEAPTRICK_Q1,
                                  SAFE_GUARD_MINIMUM, DEFAULT_WORLD, WorldConfig)
+from tpuvc.dsp.spectral import dc_correction, linear_smoothing
 from tpuvc.ops import pallas_window
 from tpuvc.ops.framing import frame_signal
 
@@ -65,59 +66,6 @@ def _windowed_frames(x: jnp.ndarray, f0: jnp.ndarray, hop: int,
                        / jnp.maximum(wsum, 1e-12))
     win_power = jnp.maximum(jnp.sum(win * win, axis=-1, keepdims=True), 1e-12)
     return seg, win_power
-
-
-def _dc_correction(ps: jnp.ndarray, f0: jnp.ndarray, fs: int,
-                   fft_size: int) -> jnp.ndarray:
-    """Add the spectrum mirrored around f0 to the bins below f0.
-
-    replica(k) = ps(f0/df - k) is a fractional shift of the even periodic
-    extension of ps (mirroring around f0 == shifting the reflected even
-    spectrum), computed with one rfft/irfft pair and a per-frame phase
-    ramp.  Gather formulations (all bins, or just the <=64 bins below
-    f0_ceil) were both measured SLOWER than the 2 extra FFTs on v5e —
-    per-row gather overhead dominates at any width; the band-limited
-    shift differs from WORLD's linear interpolation only by slight
-    ringing next to the f0 peak, inside the DC-corrected region.
-    """
-    half = fft_size // 2 + 1
-    df = fs / fft_size
-    k = jnp.arange(half, dtype=ps.dtype)
-    freq = k * df                                            # [half]
-    ext = jnp.concatenate([ps, ps[..., -2:0:-1]], axis=-1)   # even, len 1024
-    c = jnp.fft.rfft(ext, axis=-1)                           # [N, half]
-    q = (f0 / df)[:, None]                                   # shift in bins
-    m = jnp.arange(half, dtype=ps.dtype)[None, :]
-    ramp = jnp.exp(-2j * jnp.pi * (m * q) / fft_size)
-    replica = jnp.fft.irfft(c * ramp, n=fft_size, axis=-1)[..., :half]
-    replica = jnp.maximum(replica, 0.0)   # band-limited shift may ring
-    below = freq[None, :] < f0[:, None]
-    return jnp.where(below, ps + replica, ps)
-
-
-def _linear_smoothing(ps: jnp.ndarray, width: jnp.ndarray, fs: int,
-                      fft_size: int) -> jnp.ndarray:
-    """Moving-average smoothing of the power spectrum with per-frame width.
-
-    smoothed(f) = (1/w) * integral_{f-w/2}^{f+w/2} ps(l) dl, with even
-    reflection at DC and Nyquist.  Computed in the quefrency domain: the
-    even periodic extension of ps IS the mirror boundary condition, and
-    box convolution becomes a per-frame sinc(pi w tau) multiply between one
-    batched rfft/irfft pair — gather-free (the TPU-fast formulation; a
-    sample-and-average quadrature was ~25x slower on v5e) and free of the
-    float32 cumulative-sum cancellation WORLD's float64 rectangle rule
-    would hit here.  The band-limited box can undershoot in deep valleys
-    (Gibbs), so the result is floored at 1e-9 of the frame peak.
-    """
-    half = fft_size // 2 + 1
-    ext = jnp.concatenate([ps, ps[..., -2:0:-1]], axis=-1)   # even, len 1024
-    c = jnp.fft.rfft(ext, axis=-1)                           # [N, half]
-    tau = jnp.arange(half, dtype=ps.dtype) / fs              # quefrency grid
-    arg = jnp.pi * width[:, None] * tau[None, :]
-    m = jnp.where(arg > 1e-9, jnp.sin(arg) / jnp.maximum(arg, 1e-9), 1.0)
-    sm = jnp.fft.irfft(c * m, n=fft_size, axis=-1)[..., :half]
-    floor = jnp.max(sm, axis=-1, keepdims=True) * 1e-9
-    return jnp.maximum(sm, floor)
 
 
 def _lifter(log_ps_half: jnp.ndarray, f0: jnp.ndarray, fs: int,
@@ -184,8 +132,8 @@ def cheaptrick(x: jnp.ndarray, f0: jnp.ndarray,
     # FFT, but its below-f0 log-domain differences leak across the whole
     # envelope through the cepstral lifter (multi-dB) — measured and
     # rejected (see git history).
-    ps = _dc_correction(ps, f0_eff, fs, fft_size)
-    ps = _linear_smoothing(ps, 2.0 * f0_eff / 3.0, fs, fft_size)
+    ps = dc_correction(ps, f0_eff, fs, fft_size)
+    ps = linear_smoothing(ps, 2.0 * f0_eff / 3.0, fs, fft_size)
     env = _lifter(jnp.log(ps), f0_eff, fs, fft_size, CHEAPTRICK_Q1)
     return jnp.exp(env)
 

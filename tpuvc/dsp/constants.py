@@ -75,14 +75,29 @@ D4C_FREQUENCY_INTERVAL = 3000.0  # Hz between coarse-band centers
 D4C_UPPER_LIMIT = 15000.0       # Hz cap on coarse bands
 D4C_FLOOR_DB = -60.0            # aperiodicity at DC (dB)
 D4C_CEIL_DB = -1e-12            # aperiodicity at Nyquist (dB)
-D4C_FFT_SIZE = 2048             # covers the 4-period window at f0_floor=71
-#   plus the max autocorrelation lag fs/f0_floor without circular wrap
-#   (3-period/1024 variant measured +0.3 dB round-trip MCD — rejected)
-D4C_UNVOICED_PLACEHOLDER_F0 = 150.0  # lag used for frames later masked as
-#   fully aperiodic (value is irrelevant; must be a valid lag)
+D4C_UNVOICED_PLACEHOLDER_F0 = 150.0  # f0 used for frames later masked as
+#   fully aperiodic (value is irrelevant; must be a valid f0)
 SAFE_GUARD_MINIMUM = 1e-12
 
-# largest analysis window across all stages (D4C window); the halo size for
+
+def d4c_fft_size(fs: int, f0_floor: float = F0_FLOOR) -> int:
+    """FFT size covering D4C's 4-period Blackman windows (+ the 1/(4 f0)
+    centroid offsets): 2 ** (1 + floor(log2(4 fs / f0_floor + 1))).
+
+    WORLD sizes this with its fixed internal 47 Hz floor (=> 2048 at 16 k);
+    deriving from the config's f0_floor (71 Hz => 1024) halves the FFT cost
+    with the same statistic — parity vs the float64 oracle (which uses the
+    47 Hz rule) is pinned in tests/test_oracle_parity.py.
+    """
+    return 2 ** (1 + int(math.log2(4.0 * fs / f0_floor + 1.0)))
+
+
+# kept for the NCCF d4c variant's autocorrelation lag headroom and as the
+# halo bound below
+D4C_FFT_SIZE = 2048
+
+# largest analysis window across all stages (the NCCF-variant D4C window;
+# an upper bound for the group-delay variant's 1024); the halo size for
 # frame-blocked sharding (parallel/frame_sharding.py) derives from it
 MAX_ANALYSIS_WINDOW = D4C_FFT_SIZE
 
@@ -106,6 +121,8 @@ class WorldConfig:
     f0_floor: float = F0_FLOOR
     f0_ceil: float = F0_CEIL
     fft_size: int = FFT_SIZE
+    ap_method: str = "group_delay"  # D4C statistic: "group_delay" (WORLD
+    #   parity, default) or "nccf" (round-1 stand-in, ~2x cheaper)
 
     @property
     def hop(self) -> int:

@@ -1,52 +1,198 @@
-"""Band aperiodicity estimation (D4C-class), batched and jit-compiled.
+"""D4C band aperiodicity (static group delay), batched and jit-compiled.
 
-TPU-native stand-in for WORLD's D4C (Morise, Speech Communication 2016) that
+TPU-native rebuild of WORLD's D4C (Morise, Speech Communication 2016) that
 the reference calls through ``pyworld.d4c`` (reference analyzer.py wav2pw,
-SURVEY.md SS2.3 N3).  Interface and output format match D4C exactly:
-coarse band aperiodicities on a 3 kHz grid (D4C_FREQUENCY_INTERVAL) with
-fixed endpoints (-60 dB at DC, ~0 dB at Nyquist), linearly interpolated in
-dB to the spectral bins, plus a LoveTrain-style global voicing guard
-(threshold 0.85) that marks weakly-periodic frames fully aperiodic.
+SURVEY.md SS2.3 N3).  The reference's C++ loops per frame; here every stage
+is one batched FFT program over all frames:
 
-The per-band statistic differs from D4C's static-group-delay method in this
-round: band aperiodicity is measured as the non-periodic power fraction
-1 - r, where r is the band-limited normalized autocorrelation at lag
-fs / f0 (a windowed 4-period segment, band-masked in the frequency domain).
-For additive noise-in-harmonics this estimates the same quantity; the
-group-delay formulation is planned as a refinement.  All frames and bands
-are computed in one batched FFT program.
+  1. LoveTrain voicing guard: 3-period Hanning window, power spectrum;
+     frames whose [100 Hz, 4 kHz] share of the [100 Hz, 7.9 kHz] power is
+     <= threshold (0.85) are fully aperiodic (noise spreads energy high).
+  2. static centroid: 4-period Blackman windows at t +- 1/(4 f0), each
+     unit-energy normalized; C(k) = Re{X* Y} with Y = FFT(t x_w(t)) — the
+     group-delay numerator — summed over the two offsets, DC-corrected.
+     The time weight is affine in the frame-centered index, so Y comes from
+     one extra FFT per offset: FFT(w x * b) plus a scalar multiple of X.
+  3. smoothed power: 4-period Hanning window, power, DC correction,
+     rectangular smoothing of width f0.
+  4. static group delay tau = centroid / power, minus its own f0/2-width
+     smoothing (leaves the fine structure separating periodic from noisy
+     bands).
+  5. per 3 kHz band: Nuttall-windowed tau segment around the band center,
+     FFT, and the fraction of spectral power NOT in the top
+     round(fft_size*8/len) coefficients (lax.top_k — a periodic band
+     concentrates tau's structure in few coefficients) -> dB, plus the
+     (f0-100)/50 dB compensation, clamped to [-60, 0].
+  6. coarse values at [0 -> -60 dB, 3k, ..., Nyquist -> ~0 dB] linearly
+     interpolated (in dB) over the output bins; ap = 10^(dB/20).
+
+Deviation from WORLD: the D4C FFT size derives from THIS config's f0_floor
+(1024 at fs=16k, floor 71 Hz) rather than WORLD's fixed internal 47 Hz
+floor (2048) — the windows fit, and the band statistic is a power fraction,
+nearly resolution-independent (parity vs the float64 oracle, which uses
+the 47 Hz rule, is pinned in tests/test_oracle_parity.py).
+
+The round-1 band-NCCF statistic is kept as ``method='nccf'`` (a cheaper,
+format-compatible estimator; measured ~2x fewer FFTs) — the group-delay
+method is the parity default.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 
-from tpuvc.dsp.constants import (D4C_CEIL_DB, D4C_FFT_SIZE, D4C_FLOOR_DB,
+from tpuvc.dsp.constants import (D4C_CEIL_DB, D4C_FLOOR_DB,
                                  D4C_FREQUENCY_INTERVAL, D4C_THRESHOLD,
                                  D4C_UNVOICED_PLACEHOLDER_F0,
-                                 DEFAULT_WORLD, WorldConfig, d4c_num_bands)
+                                 DEFAULT_WORLD, WorldConfig, d4c_fft_size,
+                                 d4c_num_bands)
 from tpuvc.dsp.interp import interp_uniform
+from tpuvc.dsp.spectral import dc_correction, linear_smoothing
 from tpuvc.ops.framing import frame_signal
 
-_FFT_SIZE = D4C_FFT_SIZE
+
+def _nuttall(n: int) -> jnp.ndarray:
+    t = jnp.arange(n, dtype=jnp.float32) * (2.0 * jnp.pi / (n - 1))
+    return (0.355768 - 0.487396 * jnp.cos(t) + 0.144232 * jnp.cos(2 * t)
+            - 0.012604 * jnp.cos(3 * t))
+
+
+def _windowed(seg: jnp.ndarray, f0: jnp.ndarray, fs: int, periods: float,
+              kind: str, shift: jnp.ndarray | None = None
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pitch-adaptive window (+ weighted-mean removal) over raw segments.
+
+    seg: [N, D] frame-centered raw samples; shift: [N] integer sample
+    offset of the window center (None = centered).  Returns (windowed
+    segment, window).
+    """
+    d = seg.shape[-1]
+    b = jnp.arange(d, dtype=jnp.float32)[None, :] - d // 2
+    if shift is not None:
+        b = b - shift[:, None].astype(jnp.float32)
+    half_len = jnp.rint(periods / 2.0 * fs / f0)[:, None]
+    ph = 2.0 * jnp.pi * b * f0[:, None] / (periods * fs)
+    if kind == "hanning":
+        w = 0.5 + 0.5 * jnp.cos(ph)
+    else:  # blackman
+        w = 0.42 + 0.5 * jnp.cos(ph) + 0.08 * jnp.cos(2.0 * ph)
+    w = jnp.where(jnp.abs(b) <= half_len, w, 0.0)
+    wave = seg * w
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    wave = wave - w * (jnp.sum(wave, axis=-1, keepdims=True) / wsum)
+    return wave, w
+
+
+def _love_train(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
+                fft_size: int) -> jnp.ndarray:
+    """[N] low-band power concentration (voiced ~1, noise ~0.5)."""
+    wave, _ = _windowed(seg, f0, fs, 3.0, "hanning")
+    spec = jnp.fft.rfft(wave, n=fft_size, axis=-1)
+    ps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    df = fs / fft_size
+    b0 = math.ceil(100.0 / df)
+    b1 = math.ceil(4000.0 / df)
+    b2 = math.ceil(min(7900.0, fs / 2.0 - df) / df)
+    num = jnp.sum(ps[:, b0: b1 + 1], axis=-1)
+    den = num + jnp.sum(ps[:, b1 + 1: b2 + 1], axis=-1)
+    return num / jnp.maximum(den, 1e-20)
+
+
+def _centroid(seg: jnp.ndarray, f0: jnp.ndarray, fs: int, fft_size: int,
+              sign: float) -> jnp.ndarray:
+    """Group-delay numerator for the window at t + sign/(4 f0) -> [N, half].
+
+    Time origin is the window start (as WORLD/the oracle measure it): the
+    weight is affine in the frame-centered index b, so
+    Y = FFT(wave * b) + (hl4 - shift) * X and C = Re{X* Y}.
+    """
+    shift = jnp.rint(sign * 0.25 * fs / f0)
+    wave, _ = _windowed(seg, f0, fs, 4.0, "blackman", shift=shift)
+    power = jnp.sum(wave * wave, axis=-1, keepdims=True)
+    wave = wave / jnp.sqrt(jnp.maximum(power, 1e-30))
+    d = seg.shape[-1]
+    b = jnp.arange(d, dtype=jnp.float32)[None, :] - d // 2
+    hl4 = jnp.rint(2.0 * fs / f0)[:, None]
+    x_spec = jnp.fft.rfft(wave, n=fft_size, axis=-1)
+    yb_spec = jnp.fft.rfft(wave * b, n=fft_size, axis=-1)
+    # time-within-window = b - shift + hl4
+    const = (hl4 - shift[:, None]).astype(jnp.float32)
+    y_spec = yb_spec + const * x_spec
+    return (jnp.real(x_spec) * jnp.real(y_spec)
+            + jnp.imag(x_spec) * jnp.imag(y_spec))
+
+
+def _coarse_band_ap(sgd: jnp.ndarray, fs: int, fft_size: int,
+                    n_bands: int) -> jnp.ndarray:
+    """Sorted-power concentration statistic per 3 kHz band -> [N, n_bands] dB."""
+    wl = int(D4C_FREQUENCY_INTERVAL * fft_size / fs) * 2 + 1
+    window = _nuttall(wl)
+    boundary = round(fft_size * 8.0 / wl)
+    half = fft_size // 2
+    outs = []
+    for b in range(n_bands):
+        center = int(D4C_FREQUENCY_INTERVAL * (b + 1) * fft_size / fs)
+        lo = center - wl // 2
+        segw = jax.lax.slice_in_dim(sgd, lo, lo + wl, axis=1) * window[None]
+        spec = jnp.fft.rfft(segw, n=fft_size, axis=-1)
+        ps = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)[:, :half]
+        total = jnp.sum(ps, axis=-1)
+        top = jnp.sum(jax.lax.top_k(ps, boundary)[0], axis=-1)
+        ratio = jnp.clip(1.0 - top / jnp.maximum(total, 1e-30), 1e-12, 1.0)
+        outs.append(10.0 * jnp.log10(ratio))
+    return jnp.stack(outs, axis=-1)
+
+
+def _group_delay_coarse(x: jnp.ndarray, f0: jnp.ndarray, hop: int, fs: int,
+                        n_bands: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Coarse band aperiodicities [N, n_bands] (dB) + LoveTrain [N]."""
+    d = d4c_fft_size(fs)
+    seg = frame_signal(x, hop, d, f0.shape[0])
+    love = _love_train(seg, f0, fs, d)
+
+    cent = _centroid(seg, f0, fs, d, -1.0) + _centroid(seg, f0, fs, d, 1.0)
+    cent = dc_correction(cent, f0, fs, d)
+
+    wave, _ = _windowed(seg, f0, fs, 4.0, "hanning")
+    spec = jnp.fft.rfft(wave, n=d, axis=-1)
+    ps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    ps = dc_correction(ps, f0, fs, d)
+    ps = linear_smoothing(ps, f0, fs, d)
+
+    # NOTE on float32: in sub-bands whose power is < ~-50 dB of the frame
+    # peak, ps is float32 rounding residue and cent/ps contributes spread
+    # noise that saturates the band statistic around -4..-6 dB (true values
+    # below that read high).  A relative division floor (1e-5 of peak)
+    # fixes the saturation and matches a float64 run of this pipeline
+    # exactly, but deviates up to ~1 dB mean from WORLD's unfloored
+    # statistic on ordinary signals — parity wins, so the floor is NOT
+    # applied (measured in tests/test_oracle_parity.py::test_d4c_parity;
+    # saturation case documented in tests/test_d4c.py).
+    sgd = cent / jnp.maximum(ps, 1e-30)
+    sgd = sgd - linear_smoothing(sgd, f0 / 2.0, fs, d, floor_rel=None)
+
+    coarse = _coarse_band_ap(sgd, fs, d, n_bands)
+    coarse = jnp.clip(coarse + ((f0 - 100.0) / 50.0)[:, None],
+                      D4C_FLOOR_DB, 0.0)
+    return coarse, love
+
+
+# --- round-1 NCCF variant (kept as the cheap option, method="nccf") ---
+
+_NCCF_FFT_SIZE = 2048
 
 
 def _windowed_power_spectrum(x: jnp.ndarray, f0: jnp.ndarray,
                              hop: int, fs: int) -> jnp.ndarray:
     """Hanning window over +-2 periods, batched -> power spectrum [N, K]."""
-    half_len = jnp.rint(2.0 * fs / f0).astype(jnp.int32)
-    w = _FFT_SIZE // 2
-    base = jnp.arange(_FFT_SIZE, dtype=jnp.int32) - w
-    mask = jnp.abs(base)[None, :] <= half_len[:, None]
-    t = base.astype(jnp.float32) / fs
-    win = 0.5 + 0.5 * jnp.cos(jnp.pi * t[None, :] * f0[:, None] / 2.0)
-    win = jnp.where(mask, win, 0.0)
-    seg = frame_signal(x, hop, _FFT_SIZE, f0.shape[0]) * win
-    seg = seg - jnp.mean(seg, axis=-1, keepdims=True)
-    spec = jnp.fft.rfft(seg, n=_FFT_SIZE, axis=-1)
+    seg = frame_signal(x, hop, _NCCF_FFT_SIZE, f0.shape[0])
+    wave, _ = _windowed(seg, f0, fs, 4.0, "hanning")
+    wave = wave - jnp.mean(wave, axis=-1, keepdims=True)
+    spec = jnp.fft.rfft(wave, n=_NCCF_FFT_SIZE, axis=-1)
     return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
 
@@ -54,21 +200,42 @@ def _band_periodicity(ps: jnp.ndarray, f0: jnp.ndarray, fs: int,
                       lo_hz: float, hi_hz: float) -> jnp.ndarray:
     """Normalized band-limited autocorrelation at lag fs/f0 for all frames."""
     k = ps.shape[-1]
-    freqs = jnp.arange(k, dtype=jnp.float32) * (fs / _FFT_SIZE)
+    freqs = jnp.arange(k, dtype=jnp.float32) * (fs / _NCCF_FFT_SIZE)
     band = ((freqs >= lo_hz) & (freqs < hi_hz)).astype(ps.dtype)
-    ac = jnp.fft.irfft(ps * band[None, :], n=_FFT_SIZE, axis=-1)
+    ac = jnp.fft.irfft(ps * band[None, :], n=_NCCF_FFT_SIZE, axis=-1)
     lag = fs / jnp.maximum(f0, 1.0)
     r = interp_uniform(ac, lag[:, None])[:, 0] / jnp.maximum(ac[:, 0], 1e-20)
     return jnp.clip(r, 0.0, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("hop", "fs", "fft_size"))
+def _nccf_coarse(x: jnp.ndarray, f0: jnp.ndarray, hop: int, fs: int,
+                 n_bands: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Round-1 statistic: 1 - band-limited NCCF at lag fs/f0, in dB."""
+    ps = _windowed_power_spectrum(x, f0, hop, fs)
+    r_low = _band_periodicity(ps, f0, fs, 60.0, D4C_FREQUENCY_INTERVAL)
+    love = jnp.sqrt(jnp.clip(r_low, 0.0, 1.0))
+    coarse = []
+    for b in range(n_bands):
+        lo = D4C_FREQUENCY_INTERVAL * (b + 0.5)
+        hi = D4C_FREQUENCY_INTERVAL * (b + 1.5)
+        r = _band_periodicity(ps, f0, fs, lo, hi)
+        coarse.append(10.0 * jnp.log10(jnp.clip(1.0 - r, 1e-12, 1.0)))
+    coarse_db = (jnp.stack(coarse, axis=-1) if coarse
+                 else jnp.zeros((f0.shape[0], 0), jnp.float32))
+    return coarse_db, love
+
+
+@functools.partial(jax.jit, static_argnames=("hop", "fs", "fft_size",
+                                             "method"))
 def d4c(x: jnp.ndarray, f0: jnp.ndarray, hop: int = DEFAULT_WORLD.hop,
         fs: int = DEFAULT_WORLD.fs,
-        fft_size: int = DEFAULT_WORLD.fft_size) -> jnp.ndarray:
+        fft_size: int = DEFAULT_WORLD.fft_size,
+        method: str = "group_delay") -> jnp.ndarray:
     """Aperiodicity (amplitude ratio in [0, 1]) per frame and spectral bin.
 
     Args: x [T]; f0 [N] (0 = unvoiced); frame i is centered at i*hop.
+    method: "group_delay" (WORLD's statistic, parity default) or "nccf"
+    (round-1 stand-in, ~2x cheaper).
     Returns [N, fft_size//2 + 1], pyworld `ap` convention.
     """
     x = x.astype(jnp.float32)
@@ -77,23 +244,15 @@ def d4c(x: jnp.ndarray, f0: jnp.ndarray, hop: int = DEFAULT_WORLD.hop,
     n_bands = d4c_num_bands(fs)
     f0_eff = jnp.where(f0 > 0, f0, D4C_UNVOICED_PLACEHOLDER_F0)
 
-    ps = _windowed_power_spectrum(x, f0_eff, hop, fs)
-
-    # LoveTrain-style voicing guard on the low band (up to 3 kHz): frames
-    # whose low-band periodic fraction is too small are fully aperiodic
-    r_low = _band_periodicity(ps, f0_eff, fs, 60.0, D4C_FREQUENCY_INTERVAL)
-    fully_ap = (~(f0 > 0)) | (jnp.sqrt(jnp.clip(r_low, 0.0, 1.0))
-                              < (1.0 - D4C_THRESHOLD))
-
-    # coarse band aperiodicities in dB at centers 3k, 6k, ... (n_bands of them)
-    coarse = []
-    for b in range(n_bands):
-        lo = D4C_FREQUENCY_INTERVAL * (b + 0.5)
-        hi = D4C_FREQUENCY_INTERVAL * (b + 1.5)
-        r = _band_periodicity(ps, f0_eff, fs, lo, hi)
-        coarse.append(10.0 * jnp.log10(jnp.clip(1.0 - r, 1e-12, 1.0)))
-    coarse_db = jnp.stack(coarse, axis=-1) if coarse else jnp.zeros(
-        (f0.shape[0], 0), jnp.float32)
+    if method == "group_delay":
+        coarse_db, love = _group_delay_coarse(x, f0_eff, hop, fs, n_bands)
+    elif method == "nccf":
+        coarse_db, love = _nccf_coarse(x, f0_eff, hop, fs, n_bands)
+    else:
+        raise ValueError(f"unknown d4c method {method!r}")
+    fully_ap = (~(f0 > 0)) | (love <= (jnp.float32(D4C_THRESHOLD)
+                                       if method == "group_delay"
+                                       else 1.0 - D4C_THRESHOLD))
 
     # nodes: [0 Hz, 3k, ..., n*3k, fs/2] with fixed endpoint values
     node_freqs = jnp.concatenate([
@@ -121,4 +280,5 @@ def d4c(x: jnp.ndarray, f0: jnp.ndarray, hop: int = DEFAULT_WORLD.hop,
 
 def d4c_config(x: jnp.ndarray, f0: jnp.ndarray,
                cfg: WorldConfig = DEFAULT_WORLD) -> jnp.ndarray:
-    return d4c(x, f0, hop=cfg.hop, fs=cfg.fs, fft_size=cfg.fft_size)
+    return d4c(x, f0, hop=cfg.hop, fs=cfg.fs, fft_size=cfg.fft_size,
+               method=cfg.ap_method)
