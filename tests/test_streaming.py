@@ -64,15 +64,20 @@ def test_streaming_output_resembles_batch_output(converter):
     s = StreamingConverter(converter, "A", "B", chunk_s=1.0)
     y_stream = np.concatenate([s.push(x), s.flush()])
     n = min(len(y_full), len(y_stream))
+    # measured (round 2, equal-power crossfade): std ratio 1.06, mean
+    # envelope diff 0.33 dB — tolerances carry ~2-3x margin
     assert np.std(y_stream[:n]) == pytest.approx(np.std(y_full[:n]),
-                                                 rel=0.35)
+                                                 rel=0.15)
     sp_f = 10 * np.log10(np.asarray(analyze(y_full[:n], cfg).sp) + 1e-20)
     sp_s = 10 * np.log10(np.asarray(analyze(y_stream[:n], cfg).sp) + 1e-20)
     nf = min(len(sp_f), len(sp_s))
-    # average envelopes over mid frames agree within a few dB
     mid = slice(nf // 4, 3 * nf // 4)
     diff = np.abs(sp_f[mid].mean(0) - sp_s[mid].mean(0))
-    assert diff.mean() < 3.0, f"mean envelope diff {diff.mean():.1f} dB"
+    assert diff.mean() < 1.0, f"mean envelope diff {diff.mean():.2f} dB"
+    # per-chunk seeds are deterministic: a second pass is bit-identical
+    s2 = StreamingConverter(converter, "A", "B", chunk_s=1.0)
+    y2 = np.concatenate([s2.push(x), s2.flush()])
+    np.testing.assert_array_equal(y_stream, y2)
 
 
 def test_long_utterance_multi_bucket(converter):

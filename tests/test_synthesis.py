@@ -82,7 +82,32 @@ def test_roundtrip_preserves_f0_and_spectrum(f0_true):
     lo = int(100 / (cfg.fs / cfg.fft_size))
     hi = int(min(8 * f0_true, 5000) / (cfg.fs / cfg.fft_size))
     diff = np.abs(s1[:, lo:hi].mean(0) - s2[:, lo:hi].mean(0))
-    assert diff.mean() < 5.0, f"mean band error {diff.mean():.1f} dB"
+    # measured 0.27-0.57 dB (round 2); tolerance carries ~2.5x margin
+    assert diff.mean() < 1.5, f"mean band error {diff.mean():.2f} dB"
+
+
+def test_roundtrip_mcd_on_speechlike_utterance():
+    """Full-pipeline round-trip MCD on a synthetic-corpus utterance.
+
+    Measured (round 2): single-seed 2.71 dB — BELOW both the analyzer's
+    own test-retest floor on natural signals (2.90 dB: same source,
+    different breath-noise realization) and the seed-vs-seed resynthesis
+    floor (3.33 dB).  The round trip is estimation-variance limited, not
+    vocoder limited; the float64 per-pulse oracle synthesis scores WORSE
+    (3.94 dB) on the identical metric.  Full ablation table in
+    docs/STATUS.md."""
+    from tpuvc.data.synthetic import SPEAKER_DEFS, synth_utterance
+    from tpuvc.utils.metrics import mcd
+    cfg = DEFAULT_WORLD
+    rng = np.random.default_rng(0)
+    x = synth_utterance(rng, *SPEAKER_DEFS["SA"], fs=cfg.fs,
+                        dur_s=1.0).astype(np.float32)
+    feats = analyze(x, cfg)
+    y = np.asarray(resynthesize(feats, cfg, seed=1))[: len(x)]
+    feats2 = analyze(y.astype(np.float32), cfg)
+    idx = slice(10, -10)
+    m = mcd(np.asarray(feats.sp)[idx], np.asarray(feats2.sp)[idx], cfg.fs)
+    assert m < 3.0, f"round-trip MCD {m:.2f} dB"
 
 
 def test_minphase_matmul_matches_fft_formulation():
