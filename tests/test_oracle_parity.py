@@ -54,12 +54,19 @@ def test_dio_parity(case, oracle_f0):
     of0, _ = oracle_f0
     jf0 = np.asarray(dio(x))
     vo, vj = of0 > 0, jf0 > 0
-    assert (vo == vj).mean() >= 0.95, "voicing decisions diverge"
+    # measured 100% voicing agreement after the round-2 edge-hold +
+    # half-octave channel gate (VERDICT item 5: >= 99%)
+    assert (vo == vj).mean() >= 0.99, "voicing decisions diverge"
     both = vo & vj
     assert both.sum() > 50
     rel = np.abs(jf0[both] - of0[both]) / of0[both]
     assert rel.mean() < 0.005
     assert np.median(rel) < 0.002
+    interior = both.copy()
+    interior[:3] = interior[-3:] = False
+    rmse = np.sqrt(np.mean((np.abs(jf0[interior] - of0[interior])
+                            / of0[interior]) ** 2))
+    assert rmse < 0.01, f"interior f0 RMSE {rmse:.4f}"
     # both implementations near the ground truth on interior frames
     for f0c in (jf0, of0):
         interior = f0c[5:-5][f0c[5:-5] > 0]

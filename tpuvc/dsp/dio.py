@@ -75,7 +75,22 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float,
         a = jnp.where(pf > 0, prev[jnp.maximum(pf - 1, 0)], -jnp.inf)
         b = nxt[pf]
         valid = jnp.isfinite(a) & jnp.isfinite(b) & (b > a)
-        return jnp.where(valid, fs_d / jnp.maximum(b - a, 1e-6), 0.0)
+        # edge hold (WORLD interp1 semantics): frames before the first event
+        # read the first interval's f0, frames after the last event the last
+        # interval's — otherwise utterance-edge frames lose their track and
+        # come out spuriously unvoiced (oracle parity: tests/oracle/dio.py)
+        e0 = jnp.min(jnp.where(m, tpos, jnp.inf))
+        e1 = jnp.min(jnp.where(m & (tpos > e0), tpos, jnp.inf))
+        en = jnp.max(jnp.where(m, tpos, -jnp.inf))
+        en1 = jnp.max(jnp.where(m & (tpos < en), tpos, -jnp.inf))
+        first = jnp.where(jnp.isfinite(e0) & jnp.isfinite(e1),
+                          fs_d / jnp.maximum(e1 - e0, 1e-6), 0.0)
+        last = jnp.where(jnp.isfinite(en) & jnp.isfinite(en1),
+                         fs_d / jnp.maximum(en - en1, 1e-6), 0.0)
+        edge = jnp.where(~jnp.isfinite(a) & jnp.isfinite(b), first,
+                         jnp.where(jnp.isfinite(a) & ~jnp.isfinite(b),
+                                   last, 0.0))
+        return jnp.where(valid, fs_d / jnp.maximum(b - a, 1e-6), edge)
 
     return jnp.stack([
         crossings(sig, 1.0, 0.0),      # negative-going zero crossings
@@ -146,8 +161,16 @@ def dio(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
     cand = jnp.mean(tracks, axis=1)                          # [C, N]
     dev = jnp.sqrt(jnp.sum((tracks - cand[:, None, :]) ** 2, axis=1) / 3.0)
     score = dev / jnp.maximum(cand, 1e-6)
-    in_range = (cand >= f0_floor) & (cand <= f0_ceil)
+    # a channel only proposes candidates inside its half-octave band
+    # [boundary/2, boundary]: its low-pass keeps exactly one harmonic there,
+    # so out-of-band means a consistent-but-wrong (e.g. 2x f0) reading
+    # (WORLD's gate; oracle parity: tests/oracle/dio.py step 4)
+    bf = jnp.asarray(_boundary_f0s(f0_floor, f0_ceil),
+                     jnp.float32)[:, None]                   # [C, 1]
+    in_range = ((cand >= f0_floor) & (cand <= f0_ceil)
+                & (cand >= bf / 2.0) & (cand <= bf))
     score = jnp.where(in_range, score, jnp.inf)
+    cand = jnp.where(in_range, cand, 0.0)  # gated candidates don't extend
 
     best = jnp.argmin(score, axis=0)                         # [N]
     best_cand = jnp.take_along_axis(cand, best[None, :], axis=0)[0]

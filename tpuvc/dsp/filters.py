@@ -52,9 +52,15 @@ def lowpass_bank_fft(x: jnp.ndarray, fs: float,
                      boundary_f0s: tuple[float, ...]) -> jnp.ndarray:
     """Bank of WORLD-DIO-style low-pass filters applied in one batched FFT.
 
-    WORLD uses a Nuttall window of length ~4 periods of each boundary f0 as
-    the FIR taps (its main lobe acts as the low-pass; first null at
-    ~boundary_f0).  We evaluate all channel FIRs on a common max-length grid
+    WORLD uses a Nuttall window of length ~2 periods of each boundary f0 as
+    the FIR taps (GetFilteredSignal's half_average_length = fs/(2 bf), FIR =
+    4x that): a deliberately WIDE low-pass whose first null sits near 2 bf,
+    so the channel's half-octave band [bf/2, bf] passes with little
+    attenuation and the 4-estimator deviation (not the filter skirt) does
+    the candidate selection.  Round 1 used 4-period FIRs — the narrower
+    mainlobe attenuated fundamentals near the band edge enough to cause
+    missed zero crossings on noisy signals (caught by oracle parity).
+    We evaluate all channel FIRs on a common max-length grid
     (masked per channel), FFT once, multiply, and IFFT the whole bank.
 
     Args:
@@ -69,10 +75,11 @@ def lowpass_bank_fft(x: jnp.ndarray, fs: float,
     t_len = x.shape[-1]
     c = len(boundary_f0s)
     bounds = jnp.asarray(boundary_f0s, jnp.float32)
-    # per-channel FIR length: 4 periods + 1 (WORLD GetFilteredSignal)
+    # per-channel FIR length: 2 periods + 1 (WORLD GetFilteredSignal:
+    # 4 * half_average_length, half_average_length = fs / (2 bf))
     half = jnp.rint(fs / bounds).astype(jnp.int32)        # 1 period in samples
-    fir_len = 4 * half + 1                                 # [C]
-    max_len = int(4 * round(fs / min(boundary_f0s)) + 1)
+    fir_len = 2 * half + 1                                 # [C]
+    max_len = int(2 * round(fs / min(boundary_f0s)) + 1)
     pos = jnp.arange(max_len)[None, :].astype(jnp.float32)  # [1, L]
     taps = nuttall(jnp.broadcast_to(pos, (c, max_len)), fir_len[:, None])
     taps = jnp.where(pos < fir_len[:, None], taps, 0.0)
