@@ -78,15 +78,21 @@ def main() -> None:
         lat = min(lat, time.perf_counter() - t0)
 
     # throughput: pipelined dispatch (device compute overlaps D2H of the
-    # previous call — the steady-state serving pattern)
+    # previous call — the steady-state serving pattern).  The tunnel to the
+    # chip jitters by tens of percent between repetitions, so run K
+    # repetitions and report the MEDIAN (VERDICT round-1: the 422-vs-597
+    # discrepancy was single-shot jitter; the median is stable to ~5%).
     k = 4
-    best = float("inf")
-    for _ in range(3):
+    reps = 8
+    times = []
+    for _ in range(reps):
         t0 = time.perf_counter()
         outs = [convert(*args) for _ in range(k)]
         for o in outs:
             np.asarray(o)
-        best = min(best, (time.perf_counter() - t0) / k)
+        times.append((time.perf_counter() - t0) / k)
+    times.sort()
+    best = times[len(times) // 2]  # median
 
     audio_seconds = batch * dur_s
     value = audio_seconds / best
@@ -99,6 +105,7 @@ def main() -> None:
         "batch": batch,
         "utterance_s": dur_s,
         "wall_s_per_call": round(best, 4),
+        "wall_s_spread": [round(times[0], 4), round(times[-1], 4)],
         "latency_s": round(lat, 4),
         "latency_x_realtime": round(audio_seconds / lat, 2),
         "device": str(jax.devices()[0]),

@@ -23,6 +23,22 @@ SPEAKER_DEFS = {
     "SD": (260.0, (800.0, 2600.0), -7.0),
 }
 
+# VCC2016-shaped 10-speaker set (reference etc/speakers.tsv order,
+# SURVEY.md SS2.1): 'F' speakers get higher base f0 ranges, 'M' lower;
+# formants/tilt vary per speaker so conversion has real envelope targets.
+VCC2016_SPEAKER_DEFS = {
+    "SF1": (215.0, (620.0, 2100.0), -6.0),
+    "SF2": (190.0, (700.0, 2300.0), -5.0),
+    "SF3": (235.0, (560.0, 1950.0), -7.0),
+    "SM1": (115.0, (480.0, 1500.0), -4.0),
+    "SM2": (135.0, (520.0, 1650.0), -5.0),
+    "TF1": (205.0, (660.0, 2200.0), -6.5),
+    "TF2": (225.0, (590.0, 2000.0), -5.5),
+    "TM1": (105.0, (460.0, 1400.0), -4.5),
+    "TM2": (125.0, (540.0, 1700.0), -4.0),
+    "TM3": (145.0, (500.0, 1550.0), -5.5),
+}
+
 
 def synth_utterance(rng: np.random.Generator, f0_base: float,
                     formants: tuple[float, float], tilt_db: float,
@@ -50,16 +66,28 @@ def synth_utterance(rng: np.random.Generator, f0_base: float,
 
 
 def make_corpus(root: str, n_train: int = 6, n_test: int = 2,
-                fs: int = 16000, dur_s: float = 0.8, seed: int = 0) -> None:
+                fs: int = 16000, dur_s: float = 0.8, seed: int = 0,
+                speaker_defs: dict | None = None) -> None:
     rng = np.random.default_rng(seed)
-    speakers = list(SPEAKER_DEFS)
+    defs = speaker_defs if speaker_defs is not None else SPEAKER_DEFS
+    speakers = list(defs)
     corpus_io.write_speakers(os.path.join(root, "etc"), speakers)
     for split, count in ((corpus_io.TRAIN_SPLIT, n_train),
                         (corpus_io.TEST_SPLIT, n_test)):
         for spk in speakers:
-            f0b, formants, tilt = SPEAKER_DEFS[spk]
+            f0b, formants, tilt = defs[spk]
             d = os.path.join(root, "wav", split, spk)
             os.makedirs(d, exist_ok=True)
             for i in range(count):
                 x = synth_utterance(rng, f0b, formants, tilt, fs, dur_s)
                 write_wav(os.path.join(d, f"{100001 + i}.wav"), x, fs)
+
+
+def make_vcc2016_corpus(root: str, n_train: int = 50, n_test: int = 5,
+                        fs: int = 16000, dur_s: float = 1.5,
+                        seed: int = 0) -> None:
+    """VCC2016-shaped validation corpus: 10 speakers, ~n_train utt each
+    (the real challenge set is 10 x 162; this is the scale-validation
+    stand-in since the corpus itself is not downloadable here)."""
+    make_corpus(root, n_train=n_train, n_test=n_test, fs=fs, dur_s=dur_s,
+                seed=seed, speaker_defs=VCC2016_SPEAKER_DEFS)

@@ -87,12 +87,8 @@ def _windowed(seg: jnp.ndarray, f0: jnp.ndarray, fs: int, periods: float,
     return wave, w
 
 
-def _love_train(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
-                fft_size: int) -> jnp.ndarray:
+def _love_ratio(ps: jnp.ndarray, fs: int, fft_size: int) -> jnp.ndarray:
     """[N] low-band power concentration (voiced ~1, noise ~0.5)."""
-    wave, _ = _windowed(seg, f0, fs, 3.0, "hanning")
-    spec = jnp.fft.rfft(wave, n=fft_size, axis=-1)
-    ps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     df = fs / fft_size
     b0 = math.ceil(100.0 / df)
     b1 = math.ceil(4000.0 / df)
@@ -102,28 +98,22 @@ def _love_train(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
     return num / jnp.maximum(den, 1e-20)
 
 
-def _centroid(seg: jnp.ndarray, f0: jnp.ndarray, fs: int, fft_size: int,
-              sign: float) -> jnp.ndarray:
-    """Group-delay numerator for the window at t + sign/(4 f0) -> [N, half].
+def _centroid_wave(seg: jnp.ndarray, f0: jnp.ndarray, fs: int, sign: float
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Unit-energy windowed wave at t + sign/(4 f0) and its affine
+    time-weight constant (hl4 - shift), for the group-delay numerator.
 
     Time origin is the window start (as WORLD/the oracle measure it): the
-    weight is affine in the frame-centered index b, so
+    weight is affine in the frame-centered index b, so after the FFTs
     Y = FFT(wave * b) + (hl4 - shift) * X and C = Re{X* Y}.
     """
     shift = jnp.rint(sign * 0.25 * fs / f0)
     wave, _ = _windowed(seg, f0, fs, 4.0, "blackman", shift=shift)
     power = jnp.sum(wave * wave, axis=-1, keepdims=True)
     wave = wave / jnp.sqrt(jnp.maximum(power, 1e-30))
-    d = seg.shape[-1]
-    b = jnp.arange(d, dtype=jnp.float32)[None, :] - d // 2
     hl4 = jnp.rint(2.0 * fs / f0)[:, None]
-    x_spec = jnp.fft.rfft(wave, n=fft_size, axis=-1)
-    yb_spec = jnp.fft.rfft(wave * b, n=fft_size, axis=-1)
-    # time-within-window = b - shift + hl4
     const = (hl4 - shift[:, None]).astype(jnp.float32)
-    y_spec = yb_spec + const * x_spec
-    return (jnp.real(x_spec) * jnp.real(y_spec)
-            + jnp.imag(x_spec) * jnp.imag(y_spec))
+    return wave, const
 
 
 def _coarse_band_ap(sgd: jnp.ndarray, fs: int, fft_size: int,
@@ -149,18 +139,40 @@ def _coarse_band_ap(sgd: jnp.ndarray, fs: int, fft_size: int,
 
 def _group_delay_coarse(x: jnp.ndarray, f0: jnp.ndarray, hop: int, fs: int,
                         n_bands: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Coarse band aperiodicities [N, n_bands] (dB) + LoveTrain [N]."""
+    """Coarse band aperiodicities [N, n_bands] (dB) + LoveTrain [N].
+
+    Kernel-count layout (per-kernel overhead ~1.5 ms on the target): the
+    six forward transforms (LoveTrain window, two centroid windows, their
+    two time-weighted copies, the power window) ride ONE batched rfft, and
+    the two DC corrections (power + centroid) share one quefrency
+    round trip — 8 batched FFT dispatches total instead of 15.
+    """
     d = d4c_fft_size(fs)
-    seg = frame_signal(x, hop, d, f0.shape[0])
-    love = _love_train(seg, f0, fs, d)
+    n = f0.shape[0]
+    seg = frame_signal(x, hop, d, n)
+    b = jnp.arange(d, dtype=jnp.float32)[None, :] - d // 2
 
-    cent = _centroid(seg, f0, fs, d, -1.0) + _centroid(seg, f0, fs, d, 1.0)
-    cent = dc_correction(cent, f0, fs, d)
+    wave_lt, _ = _windowed(seg, f0, fs, 3.0, "hanning")
+    wave_c1, const1 = _centroid_wave(seg, f0, fs, -1.0)
+    wave_c2, const2 = _centroid_wave(seg, f0, fs, 1.0)
+    wave_p, _ = _windowed(seg, f0, fs, 4.0, "hanning")
+    stacked = jnp.concatenate([wave_lt, wave_c1, wave_c1 * b,
+                               wave_c2, wave_c2 * b, wave_p], axis=0)
+    spec = jnp.fft.rfft(stacked, n=d, axis=-1)
+    s_lt, x1, y1b, x2, y2b, s_p = (spec[i * n:(i + 1) * n]
+                                   for i in range(6))
 
-    wave, _ = _windowed(seg, f0, fs, 4.0, "hanning")
-    spec = jnp.fft.rfft(wave, n=d, axis=-1)
-    ps = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
-    ps = dc_correction(ps, f0, fs, d)
+    love = _love_ratio(jnp.real(s_lt) ** 2 + jnp.imag(s_lt) ** 2, fs, d)
+
+    y1 = y1b + const1 * x1
+    y2 = y2b + const2 * x2
+    cent = (jnp.real(x1) * jnp.real(y1) + jnp.imag(x1) * jnp.imag(y1)
+            + jnp.real(x2) * jnp.real(y2) + jnp.imag(x2) * jnp.imag(y2))
+    ps = jnp.real(s_p) ** 2 + jnp.imag(s_p) ** 2
+
+    both = dc_correction(jnp.concatenate([ps, cent], axis=0),
+                         jnp.concatenate([f0, f0]), fs, d)
+    ps, cent = both[:n], both[n:]
     ps = linear_smoothing(ps, f0, fs, d)
 
     # NOTE on float32: in sub-bands whose power is < ~-50 dB of the frame
