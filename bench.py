@@ -24,7 +24,7 @@ def main() -> None:
 
     from tpuvc.convert.pipeline import make_batch_convert_fn
     from tpuvc.dsp.constants import DEFAULT_WORLD
-    from tpuvc.models.vae import VAWGAN, init_params
+    from tpuvc.models.vae import init_params, make_model
     from tpuvc.utils.config import Architecture
 
     cfg = DEFAULT_WORLD
@@ -34,7 +34,7 @@ def main() -> None:
     t_samples = int(dur_s * cfg.fs)
 
     arch = Architecture(compute_dtype="bfloat16")
-    model = VAWGAN(arch=arch)
+    model = make_model(arch)  # honors arch.compute_dtype (bfloat16)
     params = init_params(model, arch, jax.random.PRNGKey(0))
     base_convert = make_batch_convert_fn(model, cfg)
 

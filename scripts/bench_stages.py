@@ -82,6 +82,33 @@ def main() -> None:
     vsyn = jax.vmap(lambda f, s, a, sd: synthesis.synthesize(
         f, s, a, cfg.fs, cfg.hop, cfg.fft_size, jax.random.PRNGKey(sd)))
 
+    # model stage: normalize -> encode -> speaker-swap decode -> denormalize
+    # (the same ops the convert graph runs, honoring arch.compute_dtype)
+    from tpuvc.convert.pipeline import _denormalize_sp, _normalize_sp
+    from tpuvc.models.vae import init_params, make_model
+    from tpuvc.utils.config import Architecture
+    arch = Architecture(compute_dtype="bfloat16")
+    model = make_model(arch)
+    params = init_params(model, arch, jax.random.PRNGKey(0))
+    xmin = jnp.full(cfg.sp_dim, -10.0, jnp.float32)
+    xmax = jnp.full(cfg.sp_dim, 1.0, jnp.float32)
+
+    def vae_stage(sp):
+        def one(sp1):
+            u, en = _normalize_sp(sp1, xmin, xmax)
+            z_mu, _ = model.apply(params, u, method=type(model).encode)
+            y = jnp.full((u.shape[0],), 3, jnp.int32)
+            u2 = model.apply(params, z_mu, y, method=type(model).decode)
+            return _denormalize_sp(u2, en, xmin, xmax)
+        return jax.vmap(one)(sp)
+
+    from tpuvc.dsp.synthesis import _excitation
+
+    def exc_stage(f0):
+        return jax.vmap(lambda f, s: _excitation(
+            f, n_frames * cfg.hop, cfg.hop, cfg.fs,
+            jax.random.PRNGKey(s)))(f0, seeds)
+
     results = {}
     results["dio"] = timed(vdio, xs)
     results["stonemask"] = timed(lambda x: vsm(x, f0s), xs)
@@ -89,11 +116,14 @@ def main() -> None:
     results["d4c_group_delay"] = timed(lambda x: vd4_gd(x, f0r), xs)
     results["d4c_nccf"] = timed(lambda x: vd4_nc(x, f0r), xs)
     results["synthesis"] = timed(lambda s: vsyn(f0r, s, aps, seeds), sps)
+    results["vae(bf16)"] = timed(vae_stage, sps)
+    results["excitation"] = timed(exc_stage, f0r)
 
     for k, v in results.items():
         print(f"{k:18s}: {v * 1000:8.1f} ms/call "
               f"({audio_s / v:7.0f}x realtime)")
     tot = sum(v for k, v in results.items() if k != "d4c_nccf")
+    tot -= results["excitation"]  # excitation is part of synthesis' time
     print(f"{'sum (gd)':18s}: {tot * 1000:8.1f} ms/call "
           f"({audio_s / tot:7.0f}x realtime)")
 

@@ -1,0 +1,129 @@
+"""Per-op roofline of the end-to-end convert graph from an xplane trace.
+
+Captures a jax.profiler device trace of the batched convert program
+(VERDICT round-1 item 1 done-condition: 'an xplane per-op roofline proving
+the residual is relay-bound'), parses the TPU op-level xplane with the
+tensorboard_plugin_profile proto, and prints the top ops by self time plus
+a stage-level rollup keyed on the jit scope names.
+
+  python scripts/roofline.py [batch] [--trace_dir /tmp/tpuvc_trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def capture(batch: int, trace_dir: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    from tpuvc.convert.pipeline import make_batch_convert_fn
+    from tpuvc.dsp.constants import DEFAULT_WORLD
+    from tpuvc.models.vae import init_params, make_model
+    from tpuvc.utils.config import Architecture
+
+    cfg = DEFAULT_WORLD
+    dur_s = 4.0
+    t_samples = int(dur_s * cfg.fs)
+    arch = Architecture(compute_dtype="bfloat16")
+    model = make_model(arch)
+    params = init_params(model, arch, jax.random.PRNGKey(0))
+    base = make_batch_convert_fn(model, cfg)
+    rng = np.random.default_rng(0)
+    t = np.arange(t_samples) / cfg.fs
+    xs = np.stack([(0.3 * np.sin(2 * np.pi * (110 + 15 * i) * t)
+                    + 0.01 * rng.standard_normal(t_samples)).astype(np.float32)
+                   for i in range(batch)])
+    y_trgs = (np.arange(batch) % arch.y_dim).astype(np.int32)
+    stats = (np.full(cfg.sp_dim, -10.0, np.float32),
+             np.full(cfg.sp_dim, 1.0, np.float32),
+             np.full(batch, 5.0, np.float32), np.ones(batch, np.float32),
+             np.full(batch, 5.3, np.float32), np.ones(batch, np.float32))
+    seeds = np.arange(batch, dtype=np.int32)
+    args = tuple(jnp.asarray(a)
+                 for a in (xs, y_trgs, *stats, seeds))
+    np.asarray(base(params, *args))      # compile + warm
+    with jax.profiler.trace(trace_dir):
+        for _ in range(2):
+            np.asarray(base(params, *args))
+    time.sleep(1)
+
+
+STAGES = ("dio", "stonemask", "cheaptrick", "d4c", "synthesize", "encode",
+          "decode", "convert_f0", "normalize")
+
+
+def report(trace_dir: str, top_n: int = 30) -> None:
+    """Parse the device 'XLA Ops' lane of the exported Chrome trace (the
+    xplane_pb2 python module is not shipped in this sandbox; the
+    trace.json.gz carries the same op-level lane)."""
+    import json
+
+    files = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins/profile/*/*.trace.json.gz")),
+        key=os.path.getmtime)
+    if not files:
+        raise SystemExit(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(files[-1], "rt") as f:
+        events = json.load(f)["traceEvents"]
+
+    device_pids = {e["pid"] for e in events
+                   if e.get("ph") == "M" and e.get("name") == "process_name"
+                   and "TPU" in e["args"].get("name", "")}
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["args"].get("name") == "XLA Ops"
+               and e["pid"] in device_pids}
+
+    per_op = collections.Counter()          # name -> us (device self time)
+    per_stage = collections.Counter()
+    total_us = 0.0
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
+            continue
+        dur = float(e.get("dur", 0.0))
+        name = e.get("name", "?")
+        scope = str(e.get("args", {}).get("l", "")) + " " + str(
+            e.get("args", {}).get("long_name", ""))
+        per_op[name] += dur
+        total_us += dur
+        low = (name + " " + scope).lower()
+        stage = next((s for s in STAGES if s in low), "other")
+        per_stage[stage] += dur
+
+    if not per_op:
+        raise SystemExit("no XLA op events found — adapt lane matching")
+    print(f"device op time total: {total_us / 1e6:.4f} s "
+          f"(2 invocations traced)\n")
+    print("== stage rollup (by scope-name match) ==")
+    for k, v in per_stage.most_common():
+        print(f"  {k:12s} {v / 1e6:8.4f} s  {100.0 * v / total_us:5.1f}%")
+    print("\n== top ops by device self time ==")
+    for name, us in per_op.most_common(top_n):
+        print(f"  {us / 1e6:8.4f} s  {100.0 * us / total_us:5.1f}%  "
+              f"{name[:110]}")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("batch", nargs="?", type=int, default=128)
+    p.add_argument("--trace_dir", default="/tmp/tpuvc_trace")
+    p.add_argument("--report_only", action="store_true")
+    args = p.parse_args()
+    if not args.report_only:
+        capture(args.batch, args.trace_dir)
+    report(args.trace_dir)
+
+
+if __name__ == "__main__":
+    main()

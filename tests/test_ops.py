@@ -75,6 +75,50 @@ def test_mcd_properties():
     assert mcd(sp, sp2, 16000) > 0.5
 
 
+def test_pallas_box_smooth_matches_xla_path():
+    """Pallas sliding box smoothing (interpreter mode) == XLA fallback ==
+    the float64 oracle's rectangle rule."""
+    import jax.numpy as jnp
+
+    from tests.oracle.common import linear_smoothing as oracle_smooth
+    from tpuvc.dsp.spectral import linear_smoothing
+    from tpuvc.ops.pallas_smooth import box_smooth_pallas
+
+    rng = np.random.default_rng(1)
+    fs, fft_size, n = 16000, 1024, 37
+    half = fft_size // 2 + 1
+    ps = jnp.asarray(10.0 ** rng.uniform(-8, 0, (n, half)), jnp.float32)
+    width = jnp.asarray(rng.uniform(60, 790, n), jnp.float32)
+    ref = linear_smoothing(ps, width, fs, fft_size, floor_rel=None)
+    out = box_smooth_pallas(ps, width, fs, fft_size, 810.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-12)
+    # cross-check one frame against the float64 oracle formulation
+    o = oracle_smooth(np.asarray(ps[0], np.float64), float(width[0]),
+                      fs, fft_size)
+    np.testing.assert_allclose(np.asarray(out[0]), o, rtol=1e-4, atol=1e-10)
+
+
+def test_pallas_topk_sum_matches_lax_topk():
+    """Iterated-max top-k-sum kernel (interpreter mode) == lax.top_k sum,
+    exactly, including rows with duplicated values and ties."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.ops.pallas_topk import topk_sum_pallas
+
+    rng = np.random.default_rng(3)
+    ps = rng.uniform(0, 1, (50, 512)).astype(np.float32)
+    ps[7, :100] = 0.5          # heavy ties
+    ps[13] = 0.0               # all-equal row
+    ps[21, ::2] = ps[21, 1::2]  # pairwise duplicates
+    for kk in (1, 21, 512):
+        ref = np.sum(np.asarray(jax.lax.top_k(jnp.asarray(ps), kk)[0]), -1)
+        out = np.asarray(topk_sum_pallas(jnp.asarray(ps), kk,
+                                         interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
 def test_pallas_window_matches_xla_path():
     """Fused pallas windowing (interpreter mode on CPU) == XLA formulation."""
     import jax.numpy as jnp

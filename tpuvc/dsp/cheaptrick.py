@@ -34,6 +34,7 @@ from tpuvc.dsp.constants import (CHEAPTRICK_DEFAULT_F0, CHEAPTRICK_Q1,
                                  SAFE_GUARD_MINIMUM, DEFAULT_WORLD, WorldConfig)
 from tpuvc.dsp.spectral import dc_correction, linear_smoothing
 from tpuvc.ops import pallas_window
+from tpuvc.ops.dft import cos_fwd, cos_inv, rdft_power
 from tpuvc.ops.framing import frame_signal
 
 
@@ -72,22 +73,20 @@ def _lifter(log_ps_half: jnp.ndarray, f0: jnp.ndarray, fs: int,
             fft_size: int, q1: float) -> jnp.ndarray:
     """Cepstral liftering: smoothing lifter * compensation lifter.
 
-    Input/output are half-spectrum log power values [N, half].
+    Input/output are half-spectrum log power values [N, half].  The log
+    spectrum, its cepstrum, and both lifters are even sequences, so the
+    round trip is a cosine-transform matmul pair (ops/dft.py) — the MXU
+    formulation — working on the half representation throughout.
     """
+    cep = cos_inv(log_ps_half)                    # [N, half] (even cepstrum)
     half = fft_size // 2 + 1
-    # full even log-spectrum -> real cepstrum via irfft
-    cep = jnp.fft.irfft(log_ps_half.astype(jnp.complex64), n=fft_size, axis=-1)
-    i = jnp.arange(fft_size)
-    qi = jnp.minimum(i, fft_size - i).astype(log_ps_half.dtype)
-    q = qi[None, :] / fs                                     # [1, W] quefrency
+    q = jnp.arange(half, dtype=log_ps_half.dtype)[None, :] / fs  # quefrency
     arg = jnp.pi * f0[:, None] * q
     lifter_s = jnp.where(arg > 1e-6, jnp.sin(arg) / jnp.maximum(arg, 1e-6), 1.0)
     # (1 - 2 q1) + 2 q1 cos(2 pi f0 q): unity at q=0 (flat spectra pass
     # through unchanged), boosts the first-rahmonic region for q1 = -0.15
     lifter_c = (1.0 - 2.0 * q1) + 2.0 * q1 * jnp.cos(2.0 * arg)
-    cep = cep * lifter_s * lifter_c
-    out = jnp.real(jnp.fft.rfft(cep, n=fft_size, axis=-1))[..., :half]
-    return out
+    return cos_fwd(cep * lifter_s * lifter_c)
 
 
 @functools.partial(jax.jit, static_argnames=("hop", "fs", "fft_size",
@@ -117,13 +116,13 @@ def cheaptrick(x: jnp.ndarray, f0: jnp.ndarray,
                        jnp.float32(CHEAPTRICK_DEFAULT_F0), f0)
 
     seg, win_power = _windowed_frames(x, f0_eff, hop, fs, fft_size)
-    spec = jnp.fft.rfft(seg, n=fft_size, axis=-1)
     # normalize by the window power so sp is a per-sample PSD: a stationary
     # input with PSD S yields sp = S, making synthesis (which treats sp as
     # PSD) the exact inverse.  WORLD bakes the equivalent factor into its
     # synthesis response scaling instead; the convention here is
-    # self-consistent and round-trip tested.
-    ps = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2) / win_power
+    # self-consistent and round-trip tested.  rdft_power = two MXU matmuls
+    # (measured faster than jnp.fft.rfft at this shape on v5e).
+    ps = rdft_power(seg, fft_size) / win_power
     # deterministic safeguard floor (WORLD adds infinitesimal random noise)
     floor = jnp.max(ps, axis=-1, keepdims=True) * 1e-12 + SAFE_GUARD_MINIMUM
     ps = ps + floor

@@ -52,6 +52,7 @@ from tpuvc.dsp.constants import (D4C_CEIL_DB, D4C_FLOOR_DB,
                                  d4c_num_bands)
 from tpuvc.dsp.interp import interp_uniform
 from tpuvc.dsp.spectral import dc_correction, linear_smoothing
+from tpuvc.ops.dft import rdft, rdft_power
 from tpuvc.ops.framing import frame_signal
 
 
@@ -123,29 +124,35 @@ def _coarse_band_ap(sgd: jnp.ndarray, fs: int, fft_size: int,
     window = _nuttall(wl)
     boundary = round(fft_size * 8.0 / wl)
     half = fft_size // 2
-    outs = []
+    # all bands' windowed tau segments ride ONE batched matmul DFT
+    segs = []
     for b in range(n_bands):
         center = int(D4C_FREQUENCY_INTERVAL * (b + 1) * fft_size / fs)
         lo = center - wl // 2
-        segw = jax.lax.slice_in_dim(sgd, lo, lo + wl, axis=1) * window[None]
-        spec = jnp.fft.rfft(segw, n=fft_size, axis=-1)
-        ps = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)[:, :half]
-        total = jnp.sum(ps, axis=-1)
-        top = jnp.sum(jax.lax.top_k(ps, boundary)[0], axis=-1)
-        ratio = jnp.clip(1.0 - top / jnp.maximum(total, 1e-30), 1e-12, 1.0)
-        outs.append(10.0 * jnp.log10(ratio))
-    return jnp.stack(outs, axis=-1)
+        segs.append(jax.lax.slice_in_dim(sgd, lo, lo + wl, axis=1)
+                    * window[None])
+    ps = rdft_power(jnp.concatenate(segs, axis=0), fft_size, half)
+    total = jnp.sum(ps, axis=-1)
+    from tpuvc.ops.pallas_topk import topk_sum
+    top = topk_sum(ps, boundary)
+    ratio = jnp.clip(1.0 - top / jnp.maximum(total, 1e-30), 1e-12, 1.0)
+    db = 10.0 * jnp.log10(ratio)
+    n = sgd.shape[0]
+    return jnp.stack([db[b * n:(b + 1) * n] for b in range(n_bands)],
+                     axis=-1)
 
 
 def _group_delay_coarse(x: jnp.ndarray, f0: jnp.ndarray, hop: int, fs: int,
                         n_bands: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Coarse band aperiodicities [N, n_bands] (dB) + LoveTrain [N].
 
-    Kernel-count layout (per-kernel overhead ~1.5 ms on the target): the
-    six forward transforms (LoveTrain window, two centroid windows, their
-    two time-weighted copies, the power window) ride ONE batched rfft, and
-    the two DC corrections (power + centroid) share one quefrency
-    round trip — 8 batched FFT dispatches total instead of 15.
+    Transform layout (ops/dft.py MXU matmuls; XLA's TPU FFT measured
+    slower at every shape here — scripts/bench_stages.py): the six forward
+    transforms (LoveTrain window, two centroid windows, their two
+    time-weighted copies, the power window) ride ONE batched matmul DFT,
+    the two DC corrections (power + centroid) share one batched cosine
+    round trip, and the band statistics one batched DFT.  97.8 -> 32.4 ms
+    per 128 s audio on v5e vs the round-1 FFT formulation.
     """
     d = d4c_fft_size(fs)
     n = f0.shape[0]
@@ -158,17 +165,22 @@ def _group_delay_coarse(x: jnp.ndarray, f0: jnp.ndarray, hop: int, fs: int,
     wave_p, _ = _windowed(seg, f0, fs, 4.0, "hanning")
     stacked = jnp.concatenate([wave_lt, wave_c1, wave_c1 * b,
                                wave_c2, wave_c2 * b, wave_p], axis=0)
-    spec = jnp.fft.rfft(stacked, n=d, axis=-1)
-    s_lt, x1, y1b, x2, y2b, s_p = (spec[i * n:(i + 1) * n]
-                                   for i in range(6))
+    # the six forward transforms as ONE batched MXU matmul DFT (ops/dft.py;
+    # measured faster than XLA's TPU FFT at this shape)
+    re, im = rdft(stacked, d)
+    (lt_re, x1_re, y1b_re, x2_re, y2b_re, p_re) = (
+        re[i * n:(i + 1) * n] for i in range(6))
+    (lt_im, x1_im, y1b_im, x2_im, y2b_im, p_im) = (
+        im[i * n:(i + 1) * n] for i in range(6))
 
-    love = _love_ratio(jnp.real(s_lt) ** 2 + jnp.imag(s_lt) ** 2, fs, d)
+    love = _love_ratio(lt_re * lt_re + lt_im * lt_im, fs, d)
 
-    y1 = y1b + const1 * x1
-    y2 = y2b + const2 * x2
-    cent = (jnp.real(x1) * jnp.real(y1) + jnp.imag(x1) * jnp.imag(y1)
-            + jnp.real(x2) * jnp.real(y2) + jnp.imag(x2) * jnp.imag(y2))
-    ps = jnp.real(s_p) ** 2 + jnp.imag(s_p) ** 2
+    # y = FFT(wave * b) + const * X; C = Re{X* Y} summed over both offsets
+    cent = (x1_re * (y1b_re + const1 * x1_re)
+            + x1_im * (y1b_im + const1 * x1_im)
+            + x2_re * (y2b_re + const2 * x2_re)
+            + x2_im * (y2b_im + const2 * x2_im))
+    ps = p_re * p_re + p_im * p_im
 
     both = dc_correction(jnp.concatenate([ps, cent], axis=0),
                          jnp.concatenate([f0, f0]), fs, d)

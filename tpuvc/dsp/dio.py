@@ -43,21 +43,62 @@ def _boundary_f0s(f0_floor: float, f0_ceil: float) -> tuple[float, ...]:
                  for i in range(n))
 
 
-def _channel_tracks(sig: jnp.ndarray, fs_d: float,
-                    frame_pos: jnp.ndarray) -> jnp.ndarray:
+def _top2_max_scan(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Prefix (largest, second-largest) of v — one associative scan."""
+    def op(x, y):
+        a1, a2 = x
+        b1, b2 = y
+        return (jnp.maximum(a1, b1),
+                jnp.maximum(jnp.minimum(a1, b1), jnp.maximum(a2, b2)))
+    return jax.lax.associative_scan(op, (v, jnp.full_like(v, -jnp.inf)))
+
+
+def _top2_min_scan_rev(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Suffix (smallest, second-smallest) of v — one associative scan."""
+    def op(x, y):
+        a1, a2 = x
+        b1, b2 = y
+        return (jnp.minimum(a1, b1),
+                jnp.minimum(jnp.maximum(a1, b1), jnp.minimum(a2, b2)))
+    return jax.lax.associative_scan(op, (v, jnp.full_like(v, jnp.inf)),
+                                    reverse=True)
+
+
+def _strided_read(arr: jnp.ndarray, start: int, stride: int,
+                  n: int, fill: float) -> jnp.ndarray:
+    """arr[start::stride][:n], padded with edge values; `fill` is used for
+    the out-of-range head when start < 0 (frame 0 reads cell -1)."""
+    if start < 0:
+        head = jnp.full((1,), fill, arr.dtype)
+        body = jax.lax.slice(arr, (start + stride,), (arr.shape[0],),
+                             (stride,))[: n - 1]
+        out = jnp.concatenate([head, body])
+    else:
+        out = jax.lax.slice(arr, (start,), (arr.shape[0],), (stride,))[:n]
+    pad = n - out.shape[0]
+    if pad > 0:
+        out = jnp.concatenate([out, jnp.broadcast_to(out[-1:], (pad,))])
+    return out
+
+
+def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
+                    stride: int) -> jnp.ndarray:
     """Four event-interval f0 tracks for one filtered channel -> [4, N].
 
-    Scatter-free formulation: instead of compacting event times into a
-    dense list (scatter) and interpolating (searchsorted), each frame reads
-    the event bracketing it directly — prefix-cummax gives the last event
-    time at or before every sample, suffix-cummin the next one after, and
-    the frame's interval f0 is fs_d / (next - prev).  Piecewise-constant
-    per interval (WORLD linearly interpolates between interval midpoints;
-    the difference is below the 4-estimator deviation and is washed out by
-    StoneMask).  All ops are cumulative scans + tiny gathers — the TPU-fast
-    form (the scatter/searchsorted version dominated DIO's runtime).
-
-    frame_pos: [N] int sample positions of frames on the decimated grid.
+    Scatter-AND-gather-free formulation: instead of compacting event times
+    into a dense list (scatter) and interpolating (searchsorted), top-2
+    associative scans give every cell the last two event times at or
+    before it and the next two after it, and frames read them by STRIDED
+    SLICES (frame i sits at cell i*stride exactly, so no gathers — the 16
+    frame-indexed gathers this replaces were 107 ms/call at batch 128 on
+    v5e, the single largest cost in the convert graph).  The frame's f0 is
+    WORLD's interval contour: each interval's f0 value sits at the
+    interval MIDPOINT and is linearly interpolated between midpoints
+    (matlab interp1 semantics with edge hold — the same contour the
+    float64 oracle builds by scatter+interp, tests/oracle/dio.py);
+    piecewise-constant interval reads were tried first and made the 4
+    estimators disagree near event boundaries, flickering voicing on
+    borderline signals.
     """
     d = sig[1:] - sig[:-1]
 
@@ -65,15 +106,35 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float,
         m = (sign * s[:-1] > 0) & (sign * s[1:] <= 0)
         frac = jnp.where(m, s[:-1] / jnp.where(m, s[:-1] - s[1:], 1.0), 0.0)
         tpos = jnp.arange(s.shape[0] - 1, dtype=jnp.float32) + frac + offset
-        prev = jax.lax.cummax(jnp.where(m, tpos, -jnp.inf))
-        nxt = jax.lax.cummin(jnp.where(m, tpos, jnp.inf), reverse=True)
-        pf = jnp.clip(frame_pos, 0, s.shape[0] - 2)
+        prev1, prev2 = _top2_max_scan(jnp.where(m, tpos, -jnp.inf))
+        nxt1, nxt2 = _top2_min_scan_rev(jnp.where(m, tpos, jnp.inf))
         # an event in cell n has time in [n, n+1): cells <= pf-1 are strictly
-        # before the frame, cells >= pf at-or-after — so index prev one cell
+        # before the frame, cells >= pf at-or-after — so read prev one cell
         # back, else a frame sharing a cell with an event reads it as both
         # neighbors (a == b -> spuriously invalid)
-        a = jnp.where(pf > 0, prev[jnp.maximum(pf - 1, 0)], -jnp.inf)
-        b = nxt[pf]
+        a = _strided_read(prev1, -1, stride, n_frames, -jnp.inf)
+        a0 = _strided_read(prev2, -1, stride, n_frames, -jnp.inf)
+        b = _strided_read(nxt1, 0, stride, n_frames, jnp.inf)
+        b2 = _strided_read(nxt2, 0, stride, n_frames, jnp.inf)
+        left_ok = jnp.isfinite(a0) & (a0 < a - 1e-3)
+        right_ok = jnp.isfinite(b2) & (b2 > b + 1e-3)
+
+        t = (jnp.arange(n_frames, dtype=jnp.float32)
+             * jnp.float32(stride))
+        v_mid = fs_d / jnp.maximum(b - a, 1e-6)      # interval containing t
+        v_left = fs_d / jnp.maximum(a - a0, 1e-6)
+        v_right = fs_d / jnp.maximum(b2 - b, 1e-6)
+        m_left = 0.5 * (a0 + a)
+        m_mid = 0.5 * (a + b)
+        m_right = 0.5 * (b + b2)
+        wl = jnp.clip((t - m_left) / jnp.maximum(m_mid - m_left, 1e-6),
+                      0.0, 1.0)
+        f_left = jnp.where(left_ok, v_left + wl * (v_mid - v_left), v_mid)
+        wr = jnp.clip((t - m_mid) / jnp.maximum(m_right - m_mid, 1e-6),
+                      0.0, 1.0)
+        f_right = jnp.where(right_ok, v_mid + wr * (v_right - v_mid), v_mid)
+        interp = jnp.where(t < m_mid, f_left, f_right)
+
         valid = jnp.isfinite(a) & jnp.isfinite(b) & (b > a)
         # edge hold (WORLD interp1 semantics): frames before the first event
         # read the first interval's f0, frames after the last event the last
@@ -90,7 +151,7 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float,
         edge = jnp.where(~jnp.isfinite(a) & jnp.isfinite(b), first,
                          jnp.where(jnp.isfinite(a) & ~jnp.isfinite(b),
                                    last, 0.0))
-        return jnp.where(valid, fs_d / jnp.maximum(b - a, 1e-6), edge)
+        return jnp.where(valid, interp, edge)
 
     return jnp.stack([
         crossings(sig, 1.0, 0.0),      # negative-going zero crossings
@@ -147,6 +208,8 @@ def dio(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
     n_frames = x.shape[0] // hop + 1
 
     ratio = max(1, min(12, int(fs / DIO_TARGET_FS)))
+    while hop % ratio:
+        ratio -= 1   # frames must land on decimated cells (strided reads)
     fs_d = fs / ratio
     y = filters.decimate(x, ratio)
     y = y - jnp.mean(y)
@@ -154,9 +217,9 @@ def dio(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
     filtered = filters.lowpass_bank_fft(
         y, fs_d, _boundary_f0s(f0_floor, f0_ceil))           # [C, Td]
 
-    frame_pos = (jnp.arange(n_frames) * hop) // ratio        # decimated grid
+    stride = hop // ratio                                    # decimated grid
     tracks = jax.vmap(
-        lambda s: _channel_tracks(s, fs_d, frame_pos))(filtered)
+        lambda s: _channel_tracks(s, fs_d, n_frames, stride))(filtered)
     # tracks: [C, 4, N]
     cand = jnp.mean(tracks, axis=1)                          # [C, N]
     dev = jnp.sqrt(jnp.sum((tracks - cand[:, None, :]) ** 2, axis=1) / 3.0)

@@ -1,0 +1,142 @@
+"""Fixed-size Fourier transforms as cached MXU matmuls.
+
+On the target TPU, XLA's FFT lowering is slower than an explicit DFT
+matmul at the frontend's shapes (measured on v5e via scripts/bench_stages.py
+micro: rfft [25k, 1024] 6.3 ms, irfft 9.2 ms, DFT-as-matmul 4.6 ms), and —
+the bigger win — every spectral operator in the WORLD-style frontend
+(smoothing, liftering, DC correction) acts on EVEN-symmetric sequences, so
+the full fft_size-point transform collapses to a real [half, half] cosine
+matmul: ~4x fewer FLOPs than the padded FFT round trip, on the unit the
+hardware is best at (SURVEY.md SS2.3 N2/N3 hot loop; the same formulation
+already carried synthesis' minimum-phase stage, dsp/synthesis.py).
+
+All matrices are float32, built once per (shape) on the host and closed
+over as XLA constants.  Identities (pinned by tests/test_ops.py):
+
+  cos_fwd(x)         == rfft(concat([x, x[-2:0:-1]]), n=fft).real
+  cos_inv(c)         == irfft(c, n=fft)[:half]            (c real)
+  cos_inv2(a, b)     == irfft(a + i b, n=fft)[:half]
+  rdft(x, n)         == rfft(x, n=n)  as a (re, im) pair, any support
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _cos_fwd_mat(half: int) -> np.ndarray:
+    """[half, half] M with rfft(even_ext(x)).real == x @ M."""
+    n = 2 * (half - 1)
+    k = np.arange(half)
+    w = np.full(half, 2.0)
+    w[0] = w[-1] = 1.0
+    return (w[:, None]
+            * np.cos(2.0 * np.pi * np.outer(k, k) / n)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _cos_inv_mats(half: int) -> tuple[np.ndarray, np.ndarray]:
+    """[half, half] (Mc, Ms) with irfft(a+ib, n)[ :half] == a@Mc + b@Ms."""
+    n = 2 * (half - 1)
+    m = np.arange(half)
+    w = np.full(half, 2.0)
+    w[0] = w[-1] = 1.0
+    th = 2.0 * np.pi * np.outer(m, m) / n
+    mc = (w[:, None] * np.cos(th)) / n
+    ms = (-w[:, None] * np.sin(th)) / n
+    return mc.astype(np.float32), ms.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _rdft_mats(support: int, fft_size: int, n_bins: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """[support, n_bins] (C, S): rfft(x, fft_size)[..., :n_bins] ==
+    x @ C - i x @ S for real x of length ``support``."""
+    th = (2.0 * np.pi / fft_size) * np.outer(np.arange(support),
+                                             np.arange(n_bins))
+    return np.cos(th).astype(np.float32), np.sin(th).astype(np.float32)
+
+
+def cos_fwd(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward cosine transform of an even-symmetric half sequence.
+
+    x: [..., half] (the first half of an even fft_size = 2(half-1)
+    periodic sequence).  Returns the real rfft coefficients [..., half].
+    """
+    m = jnp.asarray(_cos_fwd_mat(x.shape[-1]))
+    return jnp.dot(x.astype(jnp.float32), m,
+                   preferred_element_type=jnp.float32)
+
+
+def cos_inv(c: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of cos_fwd for REAL coefficients: irfft(c)[..., :half]."""
+    mc, _ = _cos_inv_mats(c.shape[-1])
+    return jnp.dot(c.astype(jnp.float32), jnp.asarray(mc),
+                   preferred_element_type=jnp.float32)
+
+
+def cos_inv2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """irfft(a + i b, fft_size)[..., :half] for real a, b [..., half]."""
+    mc, ms = _cos_inv_mats(a.shape[-1])
+    return (jnp.dot(a.astype(jnp.float32), jnp.asarray(mc),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(b.astype(jnp.float32), jnp.asarray(ms),
+                      preferred_element_type=jnp.float32))
+
+
+def rdft(x: jnp.ndarray, fft_size: int, n_bins: int | None = None
+         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """rfft(x, n=fft_size) as a (re, im) pair of real matmuls.
+
+    x: [..., support] real with support <= fft_size (zero-padding is free:
+    the matrix just has ``support`` rows).  n_bins truncates the output to
+    the first n_bins frequency bins (e.g. StoneMask only reads harmonics
+    below 6 * f0_ceil).
+    """
+    if n_bins is None:
+        n_bins = fft_size // 2 + 1
+    c, s = _rdft_mats(x.shape[-1], fft_size, n_bins)
+    x = x.astype(jnp.float32)
+    re = jnp.dot(x, jnp.asarray(c), preferred_element_type=jnp.float32)
+    im = -jnp.dot(x, jnp.asarray(s), preferred_element_type=jnp.float32)
+    return re, im
+
+
+def rdft_power(x: jnp.ndarray, fft_size: int,
+               n_bins: int | None = None) -> jnp.ndarray:
+    """|rfft(x, fft_size)|^2 via rdft (two matmuls + elementwise)."""
+    re, im = rdft(x, fft_size, n_bins)
+    return re * re + im * im
+
+
+@functools.lru_cache(maxsize=8)
+def _irdft_mats(fft_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """[half, fft_size] (Mc, Ms): irfft(a+ib, fft_size) == a@Mc + b@Ms."""
+    half = fft_size // 2 + 1
+    m = np.arange(half)
+    n = np.arange(fft_size)
+    w = np.full(half, 2.0)
+    w[0] = w[-1] = 1.0
+    th = 2.0 * np.pi * np.outer(m, n) / fft_size
+    mc = (w[:, None] * np.cos(th)) / fft_size
+    ms = (-w[:, None] * np.sin(th)) / fft_size
+    return mc.astype(np.float32), ms.astype(np.float32)
+
+
+def irdft(a: jnp.ndarray, b: jnp.ndarray, fft_size: int) -> jnp.ndarray:
+    """irfft(a + i b, n=fft_size) — FULL-length inverse — as two matmuls.
+
+    a, b: [..., fft_size//2+1] real/imag half spectra.  Returns
+    [..., fft_size].  Measured faster than XLA's TPU irfft at the
+    synthesis response shape (scripts/bench_stages.py micro).
+    """
+    mc, ms = _irdft_mats(fft_size)
+    return (jnp.dot(a.astype(jnp.float32), jnp.asarray(mc),
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(b.astype(jnp.float32), jnp.asarray(ms),
+                      preferred_element_type=jnp.float32))
