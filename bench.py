@@ -78,18 +78,25 @@ def main() -> None:
         lat = min(lat, time.perf_counter() - t0)
 
     # throughput: pipelined dispatch (device compute overlaps D2H of the
-    # previous call — the steady-state serving pattern).  The tunnel to the
-    # chip jitters by tens of percent between repetitions, so run K
+    # previous call — the steady-state serving pattern).  copy_to_host_async
+    # right after each dispatch + pulling call i while i+1 computes measured
+    # ~1.4x over dispatch-all/pull-all on the relay (A/B'd in-process).
+    # The tunnel jitters by tens of percent between repetitions, so run K
     # repetitions and report the MEDIAN (VERDICT round-1: the 422-vs-597
-    # discrepancy was single-shot jitter; the median is stable to ~5%).
+    # discrepancy was single-shot jitter).
     k = 4
     reps = 8
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs = [convert(*args) for _ in range(k)]
-        for o in outs:
-            np.asarray(o)
+        prev = None
+        for _ in range(k):
+            cur = convert(*args)
+            cur.copy_to_host_async()
+            if prev is not None:
+                np.asarray(prev)
+            prev = cur
+        np.asarray(prev)
         times.append((time.perf_counter() - t0) / k)
     times.sort()
     best = times[len(times) // 2]  # median
