@@ -78,25 +78,29 @@ def main() -> None:
         lat = min(lat, time.perf_counter() - t0)
 
     # throughput: pipelined dispatch (device compute overlaps D2H of the
-    # previous call — the steady-state serving pattern).  copy_to_host_async
-    # right after each dispatch + pulling call i while i+1 computes measured
-    # ~1.4x over dispatch-all/pull-all on the relay (A/B'd in-process).
-    # The tunnel jitters by tens of percent between repetitions, so run K
-    # repetitions and report the MEDIAN (VERDICT round-1: the 422-vs-597
-    # discrepancy was single-shot jitter).
+    # previous calls — the steady-state serving pattern).  A 2-deep queue
+    # of outstanding calls with copy_to_host_async measured ~1.55x over
+    # dispatch-all/pull-all on the relay (A/B'd in-process; depth 1 loses
+    # ~0.1 s/call to dispatch messages queuing behind the previous call's
+    # output stream on the single TCP tunnel).  The tunnel jitters by tens
+    # of percent between repetitions, so run K repetitions and report the
+    # MEDIAN (VERDICT round-1: the 422-vs-597 discrepancy was single-shot
+    # jitter).
     k = 4
+    depth = 2
     reps = 8
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        prev = None
+        pending = []
         for _ in range(k):
             cur = convert(*args)
             cur.copy_to_host_async()
-            if prev is not None:
-                np.asarray(prev)
-            prev = cur
-        np.asarray(prev)
+            pending.append(cur)
+            if len(pending) > depth:
+                np.asarray(pending.pop(0))
+        for o in pending:
+            np.asarray(o)
         times.append((time.perf_counter() - t0) / k)
     times.sort()
     best = times[len(times) // 2]  # median
