@@ -86,32 +86,47 @@ def report(trace_dir: str, top_n: int = 30) -> None:
                and e["pid"] in device_pids}
 
     per_op = collections.Counter()          # name -> us (device self time)
+    op_meta = {}                            # name -> (tf_op, bytes, flops)
     per_stage = collections.Counter()
+    stage_bytes = collections.Counter()
+    stage_flops = collections.Counter()
     total_us = 0.0
     for e in events:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         dur = float(e.get("dur", 0.0))
         name = e.get("name", "?")
-        scope = str(e.get("args", {}).get("l", "")) + " " + str(
-            e.get("args", {}).get("long_name", ""))
+        a = e.get("args", {})
+        tf_op = str(a.get("tf_op", ""))
+        nbytes = float(a.get("bytes_accessed", 0) or 0)
+        flops = float(a.get("model_flops", 0) or 0)
         per_op[name] += dur
+        op_meta[name] = (tf_op, nbytes, flops)
         total_us += dur
-        low = (name + " " + scope).lower()
+        low = (name + " " + tf_op).lower()
         stage = next((s for s in STAGES if s in low), "other")
         per_stage[stage] += dur
+        stage_bytes[stage] += nbytes
+        stage_flops[stage] += flops
 
     if not per_op:
         raise SystemExit("no XLA op events found — adapt lane matching")
     print(f"device op time total: {total_us / 1e6:.4f} s "
           f"(2 invocations traced)\n")
-    print("== stage rollup (by scope-name match) ==")
+    print("== stage rollup (tf_op scope match; GB/s + GFLOP/s are achieved "
+          "per-stage aggregates) ==")
     for k, v in per_stage.most_common():
-        print(f"  {k:12s} {v / 1e6:8.4f} s  {100.0 * v / total_us:5.1f}%")
+        bw = stage_bytes[k] / max(v, 1e-9) / 1e3     # bytes/us -> GB/s
+        fl = stage_flops[k] / max(v, 1e-9) / 1e3     # flops/us -> GFLOP/s
+        print(f"  {k:12s} {v / 1e6:8.4f} s  {100.0 * v / total_us:5.1f}%  "
+              f"{bw:7.1f} GB/s  {fl:8.1f} GFLOP/s")
     print("\n== top ops by device self time ==")
     for name, us in per_op.most_common(top_n):
+        tf_op, nbytes, flops = op_meta[name]
+        bw = nbytes / max(us, 1e-9) / 1e3
+        scope = tf_op.split("/")[-1][:48] if tf_op else ""
         print(f"  {us / 1e6:8.4f} s  {100.0 * us / total_us:5.1f}%  "
-              f"{name[:110]}")
+              f"{bw:7.1f} GB/s  {name[:40]:40s} {scope}")
 
 
 def main() -> None:

@@ -79,8 +79,9 @@ def _windowed(seg: jnp.ndarray, f0: jnp.ndarray, fs: int, periods: float,
     ph = 2.0 * jnp.pi * b * f0[:, None] / (periods * fs)
     if kind == "hanning":
         w = 0.5 + 0.5 * jnp.cos(ph)
-    else:  # blackman
-        w = 0.42 + 0.5 * jnp.cos(ph) + 0.08 * jnp.cos(2.0 * ph)
+    else:  # blackman (cos(2 ph) by double angle: one transcendental, not 2)
+        c = jnp.cos(ph)
+        w = 0.42 + 0.5 * c + 0.08 * (2.0 * c * c - 1.0)
     w = jnp.where(jnp.abs(b) <= half_len, w, 0.0)
     wave = seg * w
     wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)

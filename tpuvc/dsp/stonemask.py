@@ -57,22 +57,35 @@ def _refine_once(raw_seg: jnp.ndarray, f0: jnp.ndarray,
     mask = jnp.abs(base)[None, :] <= half_len[:, None]
     seg = jnp.where(mask, raw_seg, 0.0)
 
+    # ALL trig in this pass derives from one cos/sin pair of the window
+    # phase phi = 2 pi f0 t / 3: the Blackman window needs cos(phi) and
+    # cos(2 phi) (double angle), the harmonic bases need cos/sin of
+    # h * 3 phi (triple angle + angle-addition recurrence).  Transcendental
+    # evaluations per pass drop 14 -> 2 on the [N, W] grid; the roofline
+    # showed the original's per-harmonic cos/sin capped the reduce fusions
+    # at 12-26 GB/s (transcendental-bound, 75 ms/call at batch 128).
     t = base.astype(jnp.float32) / fs
     phase = 2.0 * jnp.pi * t[None, :] * f0s[:, None] / 3.0
-    win = 0.42 + 0.5 * jnp.cos(phase) + 0.08 * jnp.cos(2.0 * phase)
+    cp = jnp.cos(phase)
+    sp = jnp.sin(phase)
+    win = 0.42 + 0.5 * cp + 0.08 * (2.0 * cp * cp - 1.0)
     win = jnp.where(mask, win, 0.0)
     # discrete derivative window (WORLD GetDiffWindow)
     dwin = jnp.pad(win[:, 2:] - win[:, :-2], ((0, 0), (1, 1))) * (-0.5)
 
     xw = seg * win
     xd = seg * dwin
-    theta1 = 2.0 * jnp.pi * f0s[:, None] * t[None, :]          # [N, W]
+    # cos/sin(theta1), theta1 = 3 phase, by triple angle
+    c1 = cp * (4.0 * cp * cp - 3.0)
+    s1 = sp * (3.0 - 4.0 * sp * sp)
+    ch, sh = c1, s1
     num = jnp.zeros_like(f0s)
     den = jnp.zeros_like(f0s)
     for h in range(1, STONEMASK_NUM_HARMONICS + 1):
-        th = jnp.float32(h) * theta1
-        c = jnp.cos(th)
-        s = jnp.sin(th)
+        if h > 1:  # angle addition: (ch, sh) <- (ch, sh) * (c1, s1)
+            ch, sh = ch * c1 - sh * s1, sh * c1 + ch * s1
+        c = ch
+        s = sh
         x_re = jnp.sum(xw * c, axis=-1)
         x_im = -jnp.sum(xw * s, axis=-1)
         d_re = jnp.sum(xd * c, axis=-1)
