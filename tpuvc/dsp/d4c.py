@@ -83,6 +83,11 @@ def _windowed(seg: jnp.ndarray, f0: jnp.ndarray, fs: int, periods: float,
         c = jnp.cos(ph)
         w = 0.42 + 0.5 * c + 0.08 * (2.0 * c * c - 1.0)
     w = jnp.where(jnp.abs(b) <= half_len, w, 0.0)
+    # materialize the window ONCE: without the barrier XLA fuses the cos
+    # chain into every consumer (wsum reduce, weighted-mean reduce, the
+    # subtract, downstream power/centroid reduces), recomputing the
+    # transcendental per fusion and pinning them at ~16-70 GB/s
+    w = jax.lax.optimization_barrier(w)
     wave = seg * w
     wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
     wave = wave - w * (jnp.sum(wave, axis=-1, keepdims=True) / wsum)

@@ -78,6 +78,11 @@ def _refine_once(raw_seg: jnp.ndarray, f0: jnp.ndarray,
     # cos/sin(theta1), theta1 = 3 phase, by triple angle
     c1 = cp * (4.0 * cp * cp - 3.0)
     s1 = sp * (3.0 - 4.0 * sp * sp)
+    # materialize the shared operands ONCE: without the barrier XLA fuses
+    # the whole cos/sin + window chain into EVERY per-harmonic reduce
+    # fusion (recompute-per-consumer), pinning them at ~36-120 GB/s; four
+    # [N, W] HBM round trips are far cheaper than 12 recomputations
+    xw, xd, c1, s1 = jax.lax.optimization_barrier((xw, xd, c1, s1))
     ch, sh = c1, s1
     num = jnp.zeros_like(f0s)
     den = jnp.zeros_like(f0s)
