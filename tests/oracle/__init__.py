@@ -18,6 +18,8 @@ empty, SURVEY.md provenance note):
     synthesis", Speech Communication 84, 2016.
   - M. Morise, F. Yokomori, K. Ozawa: "WORLD: a vocoder-based high-quality
     speech synthesis system for real-time applications", IEICE 2016.
+  - M. Morise: "Harvest: A high-performance fundamental frequency estimator
+    from speech signals", Interspeech 2017.
   - Well-known structural details of the public reference implementation
     (constants, window choices, fix-step order) reconstructed from memory;
     each module's docstring marks which details are paper-specified vs
@@ -28,10 +30,11 @@ np.interp, full-precision) — do not import from production code.
 """
 
 from tests.oracle.dio import dio as oracle_dio
+from tests.oracle.harvest import harvest as oracle_harvest
 from tests.oracle.stonemask import stonemask as oracle_stonemask
 from tests.oracle.cheaptrick import cheaptrick as oracle_cheaptrick
 from tests.oracle.d4c import d4c as oracle_d4c
 from tests.oracle.synthesis import synthesize as oracle_synthesize
 
-__all__ = ["oracle_dio", "oracle_stonemask", "oracle_cheaptrick",
-           "oracle_d4c", "oracle_synthesize"]
+__all__ = ["oracle_dio", "oracle_harvest", "oracle_stonemask",
+           "oracle_cheaptrick", "oracle_d4c", "oracle_synthesize"]

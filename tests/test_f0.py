@@ -73,3 +73,65 @@ def test_stonemask_keeps_unvoiced_zero():
     f0 = np.zeros(n, np.float32)
     out = np.asarray(stonemask_config(x, f0, cfg))
     assert np.all(out == 0.0)
+
+
+# --- Harvest (SURVEY.md SS2.3 N1 alternative estimator) ---
+
+
+@pytest.mark.parametrize("f0", [110.0, 165.0, 320.0])
+def test_harvest_constant_f0(f0):
+    from tpuvc.dsp.harvest import harvest_config
+    cfg = DEFAULT_WORLD
+    x = make_harmonic(f0, fs=cfg.fs, dur_s=0.6, n_harm=6, noise=0.002)
+    est = np.asarray(harvest_config(x, cfg))
+    mid = _mid(est)
+    voiced = mid[mid > 0]
+    assert len(voiced) > 0.9 * len(mid)
+    err = np.abs(voiced - f0) / f0
+    assert np.median(err) < 0.01, f"median rel err {np.median(err):.4f}"
+
+
+def test_harvest_noise_robustness_beats_dio():
+    """Harvest's selling point: candidate scoring keeps tracking under
+    noise levels where plain zero-crossing estimation degrades."""
+    from tpuvc.dsp.harvest import harvest_config
+    cfg = DEFAULT_WORLD
+    f0 = 220.0
+    x = make_harmonic(f0, fs=cfg.fs, dur_s=0.6, n_harm=6, noise=0.15,
+                      seed=5)
+    est = np.asarray(harvest_config(x, cfg))
+    mid = _mid(est)
+    voiced = mid[mid > 0]
+    assert len(voiced) > 0.9 * len(mid)
+    err = np.abs(voiced - f0) / f0
+    assert np.median(err) < 0.01
+
+
+def test_harvest_silence_and_noise_unvoiced():
+    from tpuvc.dsp.harvest import harvest_config
+    cfg = DEFAULT_WORLD
+    rng = np.random.default_rng(0)
+    assert np.all(np.asarray(harvest_config(np.zeros(8000), cfg)) == 0.0)
+    noise = 0.3 * rng.standard_normal(9600)
+    est = np.asarray(harvest_config(noise, cfg))
+    assert np.mean(est > 0) < 0.2, "white noise should be mostly unvoiced"
+
+
+def test_harvest_tracks_vibrato():
+    from tpuvc.dsp.harvest import harvest_config
+    cfg = DEFAULT_WORLD
+    fs = cfg.fs
+    rng = np.random.default_rng(1)
+    t = np.arange(int(0.8 * fs)) / fs
+    inst = 180.0 * (1.0 + 0.05 * np.sin(2 * np.pi * 5.0 * t))
+    ph = 2 * np.pi * np.cumsum(inst) / fs
+    x = (np.sin(ph) + 0.3 * np.sin(2 * ph)
+         + 0.01 * rng.standard_normal(t.size)).astype(np.float32)
+    est = np.asarray(harvest_config(x, cfg))
+    tt = np.arange(est.size) * cfg.hop / fs
+    ref = 180.0 * (1.0 + 0.05 * np.sin(2 * np.pi * 5.0 * tt))
+    mid_est, mid_ref = _mid(est, 0.1), _mid(ref, 0.1)
+    m = mid_est > 0
+    assert np.mean(m) > 0.95
+    err = np.abs(mid_est[m] - mid_ref[m]) / mid_ref[m]
+    assert np.median(err) < 0.01 and err.max() < 0.05

@@ -182,3 +182,25 @@ def test_oracle_d4c_discriminates():
     noise = 0.3 * g.standard_normal(8000)
     apn = oracle_d4c(noise, oracle_dio(noise, FS), FS)
     assert apn.min() > 0.99
+
+
+def test_harvest_parity(case):
+    """Device Harvest vs the float64 oracle twin (SURVEY SS2.3 N1 alt)."""
+    from tests.oracle import oracle_harvest
+    from tpuvc.dsp.harvest import harvest
+
+    f0_true, x = case
+    dev = np.asarray(harvest(np.asarray(x, np.float32), FS))
+    orc = oracle_harvest(np.asarray(x, np.float64), FS)
+    n = min(len(dev), len(orc))
+    dev, orc = dev[:n], orc[:n]
+    v_d, v_o = dev > 0, orc > 0
+    assert np.mean(v_d == v_o) >= 0.95, "voicing decisions diverge"
+    both = v_d & v_o
+    assert both.sum() > 0.5 * n
+    rel = np.abs(dev[both] - orc[both]) / orc[both]
+    assert np.mean(rel) < 0.005, f"mean rel dev {np.mean(rel):.4f}"
+    assert np.max(rel) < 0.05, f"max rel dev {np.max(rel):.4f}"
+    # and both track the ground truth
+    err = np.abs(dev[both] - f0_true) / f0_true
+    assert np.median(err) < 0.01

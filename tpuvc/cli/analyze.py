@@ -24,6 +24,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--bucket-s", type=float, default=1.0,
                    help="utterance padding bucket in seconds (one XLA "
                         "compile per distinct bucket count)")
+    p.add_argument("--f0-method", default="dio", choices=["dio", "harvest"],
+                   help="f0 estimator: dio+stonemask (reference wav2pw "
+                        "default) or harvest (pyworld's alternative)")
+    p.add_argument("--ap-method", default="group_delay",
+                   choices=["group_delay", "nccf"],
+                   help="D4C band statistic (group_delay = WORLD parity)")
     p.add_argument("--quiet", action="store_true")
     add_platform_flag(p)
     args = p.parse_args(argv)
@@ -46,7 +52,8 @@ def main(argv: list[str] | None = None) -> None:
             f"format is pinned at {SP_DIM} bins (fft 1024); supported rates "
             f"satisfy cheaptrick_fft_size(fs) == 1024 (e.g. 16000, 22050)")
     cfg = WorldConfig(fs=args.fs, frame_period_ms=args.frame_period_ms,
-                      fft_size=fft_size)
+                      fft_size=fft_size, f0_method=args.f0_method,
+                      ap_method=args.ap_method)
     splits = {"train": (corpus_io.TRAIN_SPLIT,),
               "test": (corpus_io.TEST_SPLIT,),
               "both": (corpus_io.TRAIN_SPLIT, corpus_io.TEST_SPLIT)}[

@@ -138,14 +138,20 @@ class Converter:
                     "statistics (no training-split utterances were "
                     "analyzed for it)")
 
+    # HBM bound: the conversion graph's complex intermediates cap one call
+    # at ~512 s of audio on a 16 GB chip (docs/PERFORMANCE.md); larger
+    # requests are chunked over calls that share one compiled graph.
+    MAX_AUDIO_S_PER_CALL = 384.0
+
     def convert_batch(self, xs: list[np.ndarray], srcs: list[str],
                       trgs: list[str], seed: int = 0,
                       fs: int | None = None) -> list[np.ndarray]:
-        """Convert many utterances in ONE device call (vmapped graph).
+        """Convert many utterances in batched device calls (vmapped graph).
 
         Utterances are padded to the largest common bucket; per-utterance
         source/target speakers may differ (all-pairs many-to-many,
-        BASELINE config 4).
+        BASELINE config 4).  Requests beyond the per-call HBM budget are
+        split into equal chunks padded to one shape (single compile).
         """
         if not xs:
             return []
@@ -157,20 +163,35 @@ class Converter:
                                   *[a.speakers.index(t) for t in trgs])
         lens = [len(x) for x in xs]
         t_pad = max(1, -(-max(lens) // self.bucket)) * self.bucket
-        xp = np.stack([np.pad(np.asarray(x, np.float32),
-                              (0, t_pad - len(x))) for x in xs])
+        max_b = max(1, int(self.MAX_AUDIO_S_PER_CALL
+                           / (t_pad / self.cfg.fs)))
+        n = len(xs)
+        n_chunks = -(-n // max_b)
+        b = -(-n // n_chunks)             # equal chunk size, one compile
         si = np.array([a.speakers.index(s) for s in srcs], np.int32)
         ti = np.array([a.speakers.index(t) for t in trgs], np.int32)
-        seeds = seed + np.arange(len(xs), dtype=np.int32)
-        y = self._batch_fn(self.params, jnp.asarray(xp), jnp.asarray(ti),
-                           jnp.asarray(a.xmin), jnp.asarray(a.xmax),
-                           jnp.asarray(a.f0_mu[si]),
-                           jnp.asarray(a.f0_sigma[si]),
-                           jnp.asarray(a.f0_mu[ti]),
-                           jnp.asarray(a.f0_sigma[ti]),
-                           jnp.asarray(seeds))
-        y = np.asarray(y)
-        return [y[i, :lens[i]] for i in range(len(xs))]
+        outs: list[np.ndarray] = []
+        for lo in range(0, n, b):
+            hi = min(lo + b, n)
+            pad_b = b - (hi - lo)          # ragged tail: repeat last row
+            rows = [np.pad(np.asarray(x, np.float32),
+                           (0, t_pad - len(x)))
+                    for x in xs[lo:hi]]
+            rows += [rows[-1]] * pad_b
+            idx = np.concatenate([np.arange(lo, hi),
+                                  np.full(pad_b, hi - 1, np.int64)])
+            seeds = seed + idx.astype(np.int32)
+            y = self._batch_fn(self.params, jnp.asarray(np.stack(rows)),
+                               jnp.asarray(ti[idx]),
+                               jnp.asarray(a.xmin), jnp.asarray(a.xmax),
+                               jnp.asarray(a.f0_mu[si[idx]]),
+                               jnp.asarray(a.f0_sigma[si[idx]]),
+                               jnp.asarray(a.f0_mu[ti[idx]]),
+                               jnp.asarray(a.f0_sigma[ti[idx]]),
+                               jnp.asarray(seeds))
+            y = np.asarray(y)
+            outs.extend(y[i, :lens[lo + i]] for i in range(hi - lo))
+        return outs
 
     def convert(self, x: np.ndarray, src: str, trg: str,
                 seed: int = 0, fs: int | None = None) -> np.ndarray:

@@ -47,6 +47,33 @@ DIO_SCORE_CUTOFF = 0.2          # relative 4-estimator deviation above which
 #   a frame is unvoiced before contour fixing (DIO folds this into
 #   candidate scoring; kept explicit here)
 
+# --- Harvest (alternative f0 estimator; Morise, Interspeech 2017) ---
+# Structure per the paper: band-pass channels every 1/40 octave over an
+# f0 range widened by 10% each side, a 1 ms internal frame grid, IF-refined
+# candidates, contour fixing, biquad smoothing.  Values marked (r) are
+# reconstructed — not stated in the paper; chosen to reproduce the public
+# implementation's behavior on the fixture corpus (tests/test_f0.py,
+# tests/oracle/harvest.py keeps the oracle twin in sync).
+HARVEST_CHANNELS_IN_OCTAVE = 40.0
+HARVEST_TARGET_FS = 8000.0       # decimated candidate-generation rate
+HARVEST_FLOOR_ADJUST = 0.9       # widened search range for candidates
+HARVEST_CEIL_ADJUST = 1.1
+HARVEST_CONSISTENCY = 0.2        # (r) max rel deviation of the 4 tracks
+HARVEST_MERGE_TOLERANCE = 0.03   # (r) adjacent-channel candidate merge
+HARVEST_MAX_CANDIDATES = 10      # (r) merged candidates kept per frame
+HARVEST_REFINE_LIMIT = 0.2       # reject IF refinement deviating >20%
+HARVEST_REFINE_WINDOW = 768      # covers 3 periods at the adjusted floor
+HARVEST_RESELECT_HALF = 15       # (r) moving-median guide, +-frames (1 ms)
+HARVEST_RESELECT_REL = 0.15      # (r) contour-disagreement threshold
+HARVEST_STEP1_ALLOWED = 0.03     # (r) per-1ms relative jump limit
+HARVEST_VOICE_RANGE_MIN = 9      # min voiced run in 1 ms frames
+HARVEST_EXTENSION_ALLOWED = 0.05  # (r) candidate match during extension
+# WORLD SmoothF0Contour biquad (zero-phase; ~17 Hz at the 1 kHz frame rate)
+HARVEST_SMOOTH_B = (0.0078202080334971724, 0.015640416066994345,
+                    0.0078202080334971724)
+HARVEST_SMOOTH_A1 = -1.7347257688092754
+HARVEST_SMOOTH_A2 = 0.76600660094326412
+
 # --- StoneMask (f0 refinement) ---
 STONEMASK_NUM_HARMONICS = 6     # harmonics used in IF-weighted refinement
 STONEMASK_RELATIVE_LIMIT = 0.2  # reject refinement deviating >20% from DIO
@@ -123,6 +150,9 @@ class WorldConfig:
     fft_size: int = FFT_SIZE
     ap_method: str = "group_delay"  # D4C statistic: "group_delay" (WORLD
     #   parity, default) or "nccf" (round-1 stand-in, ~2x cheaper)
+    f0_method: str = "dio"  # "dio" (+ StoneMask refinement, the reference
+    #   wav2pw default) or "harvest" (pyworld's alternative estimator;
+    #   already IF-refined internally, so StoneMask is skipped)
 
     @property
     def hop(self) -> int:

@@ -48,6 +48,41 @@ def decimate(x: jnp.ndarray, ratio: int) -> jnp.ndarray:
     return y[..., ::ratio]
 
 
+def bandpass_bank_fft(x: jnp.ndarray, fs: float,
+                      boundary_f0s: tuple[float, ...]) -> jnp.ndarray:
+    """Bank of WORLD-Harvest-style band-pass filters in one batched FFT.
+
+    Harvest's GetFilteredSignal: each channel's FIR is a Nuttall window
+    spanning 4 periods of the boundary frequency modulated by
+    cos(2 pi bf t) — a band-pass centered at bf whose output's zero
+    crossings track the fundamental when f0 ~ bf.  Applied zero-phase
+    (group delay removed) so event times line up across channels.
+
+    Args: x [T]; fs its rate; boundary_f0s STATIC python floats.
+    Returns [C, T].
+    """
+    t_len = x.shape[-1]
+    c = len(boundary_f0s)
+    bounds = jnp.asarray(boundary_f0s, jnp.float32)
+    half = jnp.rint(2.0 * fs / bounds).astype(jnp.int32)   # 2 periods
+    fir_len = 2 * half + 1                                  # [C]
+    max_len = int(2 * round(2.0 * fs / min(boundary_f0s)) + 1)
+    pos = jnp.arange(max_len)[None, :].astype(jnp.float32)  # [1, L]
+    taps = nuttall(jnp.broadcast_to(pos, (c, max_len)), fir_len[:, None])
+    centered = pos - half[:, None].astype(jnp.float32)
+    taps = taps * jnp.cos(2.0 * jnp.pi * bounds[:, None] * centered / fs)
+    taps = jnp.where(pos < fir_len[:, None], taps, 0.0)
+    nfft = 1
+    while nfft < t_len + max_len:
+        nfft *= 2
+    xs = jnp.fft.rfft(x, n=nfft)
+    hs = jnp.fft.rfft(taps, n=nfft, axis=-1)
+    y = jnp.fft.irfft(xs[None, :] * hs, n=nfft, axis=-1)   # [C, nfft]
+    delay = (fir_len - 1) // 2
+    idx = jnp.arange(t_len)[None, :] + delay[:, None]
+    return jnp.take_along_axis(y, idx, axis=-1)
+
+
 def lowpass_bank_fft(x: jnp.ndarray, fs: float,
                      boundary_f0s: tuple[float, ...]) -> jnp.ndarray:
     """Bank of WORLD-DIO-style low-pass filters applied in one batched FFT.

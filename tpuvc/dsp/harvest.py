@@ -1,0 +1,380 @@
+"""Harvest f0 estimation, batched and jit-compiled.
+
+TPU-native rebuild of WORLD's Harvest (Morise, Interspeech 2017) — the
+alternative f0 estimator the reference exposes through ``pyworld.harvest``
+(SURVEY.md SS2.3 N1).  The reference's C++ loops per channel, per event and
+per candidate; here every stage is fixed-shape array code in one XLA
+program, sharing DIO's scatter-free event machinery:
+
+  1. decimate to ~8 kHz; one band-pass channel per 1/40 octave between
+     0.9*f0_floor and 1.1*f0_ceil (Nuttall window x cos(2 pi bf t) FIRs,
+     all applied in one batched FFT — filters.bandpass_bank_fft)
+  2. per channel, the four zero-crossing interval tracks on a 1 ms frame
+     grid (dio._channel_tracks: top-2 associative scans + strided slices);
+     a channel proposes its track mean where the four estimates agree
+  3. adjacent channels proposing the same f0 merge into <=K candidates per
+     frame (a lax.scan over the channel axis)
+  4. each candidate is refined by the instantaneous-frequency method on
+     the original-rate signal (Blackman window, direct DFT at <=6
+     harmonics via the cos/sin angle-addition recurrence — the same
+     formulation as dsp/stonemask.py) and scored by harmonic-amplitude
+     concentration with a fundamental-presence factor
+  5. contour: best score per frame, moving-median guided reselection,
+     jump removal + short-run removal (scans), candidate extension
+     (dio._extend_scan), and WORLD's zero-phase biquad smoothing; the
+     1 ms track is then strided down to the output frame grid
+
+The float64 oracle twin is tests/oracle/harvest.py; reconstructed
+constants are marked in dsp/constants.py.  Deviation from WORLD: the
+smoothing runs as one global forward/backward pass over a gap-filled
+contour (WORLD pads each voiced segment separately); the passes enter
+each segment settled at that segment's edge value, so interiors match —
+bounded in tests/test_f0.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from tpuvc.dsp import filters
+from tpuvc.dsp.constants import (DEFAULT_WORLD, HARVEST_CEIL_ADJUST,
+                                 HARVEST_CHANNELS_IN_OCTAVE,
+                                 HARVEST_CONSISTENCY,
+                                 HARVEST_EXTENSION_ALLOWED,
+                                 HARVEST_FLOOR_ADJUST, HARVEST_MAX_CANDIDATES,
+                                 HARVEST_MERGE_TOLERANCE,
+                                 HARVEST_REFINE_LIMIT, HARVEST_REFINE_WINDOW,
+                                 HARVEST_RESELECT_HALF, HARVEST_RESELECT_REL,
+                                 HARVEST_SMOOTH_A1, HARVEST_SMOOTH_A2,
+                                 HARVEST_SMOOTH_B, HARVEST_STEP1_ALLOWED,
+                                 HARVEST_TARGET_FS, HARVEST_VOICE_RANGE_MIN,
+                                 STONEMASK_NUM_HARMONICS, WorldConfig)
+from tpuvc.dsp.dio import (_channel_tracks, _extend_scan,
+                           _fix_step_remove_short_runs)
+from tpuvc.ops.framing import frame_signal
+
+_K = HARVEST_MAX_CANDIDATES
+_W = HARVEST_REFINE_WINDOW
+
+
+def _boundary_f0s(f0_floor: float, f0_ceil: float) -> tuple[float, ...]:
+    lo = f0_floor * HARVEST_FLOOR_ADJUST
+    hi = f0_ceil * HARVEST_CEIL_ADJUST
+    n = 1 + int(math.log2(hi / lo) * HARVEST_CHANNELS_IN_OCTAVE)
+    return tuple(lo * 2.0 ** ((i + 1) / HARVEST_CHANNELS_IN_OCTAVE)
+                 for i in range(n))
+
+
+def _channel_candidates(tracks: jnp.ndarray, bfs: jnp.ndarray,
+                        floor: float, ceil: float
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[C, 4, N] tracks -> per-channel (candidate, deviation) [C, N]."""
+    mean = jnp.mean(tracks, axis=1)
+    dev = (jnp.max(jnp.abs(tracks - mean[:, None, :]), axis=1)
+           / jnp.maximum(mean, 1e-12))
+    ok = (jnp.all(tracks > 0.0, axis=1) & (dev <= HARVEST_CONSISTENCY)
+          & (mean >= floor) & (mean <= ceil)
+          & (mean >= bfs[:, None] / 2.0) & (mean <= bfs[:, None] * 1.1))
+    return jnp.where(ok, mean, 0.0), jnp.where(ok, dev, jnp.inf)
+
+
+def _merge_channels(cand: jnp.ndarray, dev: jnp.ndarray
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[C, N] per-channel candidates -> [N, K] merged region candidates.
+
+    Consecutive channels whose candidates agree within MERGE_TOLERANCE
+    form one region (the fundamental lights up a run of neighbors); the
+    region's candidate is its mean, its quality the best track deviation.
+    One lax.scan over the channel axis; regions emit in ascending-
+    frequency order, capped at K (matching the oracle).
+    """
+    n = cand.shape[1]
+    slots = jnp.arange(_K)
+
+    def emit(state, value, best, do_emit):
+        filled, out_v, out_d = state
+        can = do_emit & (filled < _K)
+        slot = slots[None, :] == jnp.minimum(filled, _K - 1)[:, None]
+        write = slot & can[:, None]
+        out_v = jnp.where(write, value[:, None], out_v)
+        out_d = jnp.where(write, best[:, None], out_d)
+        return filled + can.astype(jnp.int32), out_v, out_d
+
+    def step(state, inp):
+        run_sum, run_cnt, run_best, prev, filled, out_v, out_d = state
+        c_i, d_i = inp
+        valid = c_i > 0.0
+        cont = (valid & (prev > 0.0)
+                & (jnp.abs(c_i - prev)
+                   < HARVEST_MERGE_TOLERANCE * jnp.maximum(prev, 1e-12)))
+        close = (run_cnt > 0.0) & ~cont
+        mean = run_sum / jnp.maximum(run_cnt, 1.0)
+        filled, out_v, out_d = emit((filled, out_v, out_d), mean, run_best,
+                                    close)
+        run_sum = jnp.where(cont, run_sum + c_i, jnp.where(valid, c_i, 0.0))
+        run_cnt = jnp.where(cont, run_cnt + 1.0,
+                            jnp.where(valid, 1.0, 0.0))
+        run_best = jnp.where(cont, jnp.minimum(run_best, d_i),
+                             jnp.where(valid, d_i, jnp.inf))
+        return (run_sum, run_cnt, run_best, c_i, filled, out_v, out_d), None
+
+    init = (jnp.zeros(n), jnp.zeros(n), jnp.full(n, jnp.inf),
+            jnp.zeros(n), jnp.zeros(n, jnp.int32),
+            jnp.zeros((n, _K)), jnp.full((n, _K), jnp.inf))
+    (run_sum, run_cnt, run_best, _, filled, out_v, out_d), _ = jax.lax.scan(
+        step, init, (cand, dev))
+    # close the trailing run
+    mean = run_sum / jnp.maximum(run_cnt, 1.0)
+    _, out_v, out_d = emit((filled, out_v, out_d), mean, run_best,
+                           run_cnt > 0.0)
+    return out_v, out_d
+
+
+def _harmonic_amps_if(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
+                      with_if: bool) -> tuple:
+    """Blackman-windowed direct DFT at the <=6 harmonic frequencies.
+
+    seg [N, W] raw frame-centered samples; f0 [N, K] per-candidate
+    frequencies (>0).  Returns (amps [N, K, H], ifs [N, K, H] or None,
+    energy [N, K]).  All trig derives from one cos/sin pair per candidate
+    (double/triple angle + angle-addition — see dsp/stonemask.py).
+    """
+    f0c = f0[..., None]                                     # [N, K, 1]
+    hw = jnp.floor(1.5 * fs / f0c + 1.0)
+    base = (jnp.arange(_W, dtype=jnp.float32) - _W // 2)[None, None, :]
+    mask = jnp.abs(base) <= hw
+    seg3 = jnp.where(mask, seg[:, None, :], 0.0)            # [N, K, W]
+
+    t = base / fs
+    phase = 2.0 * jnp.pi * t * f0c / 3.0
+    cp = jnp.cos(phase)
+    sp = jnp.sin(phase)
+    win = 0.42 + 0.5 * cp + 0.08 * (2.0 * cp * cp - 1.0)
+    win = jnp.where(mask, win, 0.0)
+    xw = seg3 * win
+    energy = jnp.sum(xw * xw, axis=-1)
+    if with_if:
+        dwin = jnp.pad(win[..., 2:] - win[..., :-2],
+                       ((0, 0), (0, 0), (1, 1))) * (-0.5)
+        xd = seg3 * dwin
+    c1 = cp * (4.0 * cp * cp - 3.0)
+    s1 = sp * (3.0 - 4.0 * sp * sp)
+    if with_if:
+        xw, xd, c1, s1 = jax.lax.optimization_barrier((xw, xd, c1, s1))
+    else:
+        xw, c1, s1 = jax.lax.optimization_barrier((xw, c1, s1))
+    ch, sh = c1, s1
+    amps, ifs = [], []
+    for h in range(1, STONEMASK_NUM_HARMONICS + 1):
+        if h > 1:
+            ch, sh = ch * c1 - sh * s1, sh * c1 + ch * s1
+        x_re = jnp.sum(xw * ch, axis=-1)
+        x_im = -jnp.sum(xw * sh, axis=-1)
+        power = x_re * x_re + x_im * x_im + 1e-20
+        amp = jnp.where(h * f0 < fs / 2.0, jnp.sqrt(power), 0.0)
+        amps.append(amp)
+        if with_if:
+            d_re = jnp.sum(xd * ch, axis=-1)
+            d_im = -jnp.sum(xd * sh, axis=-1)
+            inst = h * f0 + (x_re * d_im - x_im * d_re) / power * (
+                fs / (2.0 * jnp.pi))
+            ifs.append(inst)
+    amps = jnp.stack(amps, axis=-1)                         # [N, K, H]
+    ifs_a = jnp.stack(ifs, axis=-1) if with_if else None
+    return amps, ifs_a, energy
+
+
+def _refine_and_score(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
+                      hop_1ms: int, n_1ms: int
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """IF-refine + score all candidates: [N, K] -> (refined, score)."""
+    seg = frame_signal(x, hop_1ms, _W, n_1ms)               # [N, W]
+    valid = cands > 0.0
+    f0s = jnp.maximum(cands, 40.0)
+
+    # pass 1: IF refinement at the candidate frequency
+    amps, ifs, _ = _harmonic_amps_if(seg, f0s, fs, with_if=True)
+    hh = jnp.arange(1, STONEMASK_NUM_HARMONICS + 1, dtype=jnp.float32)
+    num = jnp.sum(amps * ifs / hh, axis=-1)
+    den = jnp.sum(amps, axis=-1)
+    refined = jnp.where(den > 0.0, num / jnp.maximum(den, 1e-12), 0.0)
+    ok = (valid & (refined > 0.0)
+          & (jnp.abs(refined - cands)
+             <= HARVEST_REFINE_LIMIT * jnp.maximum(cands, 1e-12)))
+
+    # pass 2: harmonic concentration score at the refined frequency
+    rf = jnp.maximum(refined, 40.0)
+    amps2, _, energy = _harmonic_amps_if(seg, rf, fs, with_if=False)
+    hw = jnp.floor(1.5 * fs / rf + 1.0)
+    winlen = 2.0 * hw + 1.0
+    fft_size = jnp.exp2(2.0 + jnp.ceil(jnp.log2(winlen)))
+    total = jnp.sqrt(fft_size * energy / 2.0 + 1e-30)
+    a1 = amps2[..., 0]
+    a2 = amps2[..., 1]
+    score = (jnp.sum(amps2, axis=-1) / total) * (a1 / (a1 + a2 + 1e-30))
+    refined = jnp.where(ok, refined, 0.0)
+    score = jnp.where(ok, score, 0.0)
+    return refined, score
+
+
+def _guided_reselect(f0: jnp.ndarray, refined: jnp.ndarray,
+                     scores: jnp.ndarray) -> jnp.ndarray:
+    """Moving-median contour guide; see tests/oracle/harvest.py twin."""
+    half = HARVEST_RESELECT_HALF
+    width = 2 * half + 1
+    n = f0.shape[0]
+    padded = jnp.pad(f0, (half, half))
+    win = jnp.stack([padded[j: j + n] for j in range(width)], axis=-1)
+    valid = win > 0.0
+    cnt = jnp.sum(valid, axis=-1)
+    s = jnp.sort(jnp.where(valid, win, jnp.inf), axis=-1)   # voiced first
+    lo = jnp.maximum((cnt - 1) // 2, 0)
+    hi = cnt // 2
+    med = 0.5 * (jnp.take_along_axis(s, lo[:, None], axis=-1)[:, 0]
+                 + jnp.take_along_axis(s, hi[:, None], axis=-1)[:, 0])
+    med = jnp.where(cnt > 0, med, 0.0)
+
+    need = ((f0 > 0.0) & (cnt > 0)
+            & (jnp.abs(f0 - med) > HARVEST_RESELECT_REL
+               * jnp.maximum(med, 1e-12)))
+    errs = jnp.where((scores > 0.0) & (refined > 0.0),
+                     jnp.abs(refined - med[:, None])
+                     / jnp.maximum(med, 1e-12)[:, None], jnp.inf)
+    j = jnp.argmin(errs, axis=-1)
+    best_err = jnp.take_along_axis(errs, j[:, None], axis=-1)[:, 0]
+    best_val = jnp.take_along_axis(refined, j[:, None], axis=-1)[:, 0]
+    fixed = jnp.where(best_err <= HARVEST_RESELECT_REL, best_val, 0.0)
+    return jnp.where(need, fixed, f0)
+
+
+def _fix_step1_scan(f0: jnp.ndarray, allowed: float) -> jnp.ndarray:
+    """Sequential jump removal (the updated previous value is the
+    reference, matching WORLD/the oracle: after a zeroing, the next frame
+    survives because its predecessor is now unvoiced)."""
+
+    def step(prev, cur):
+        bad = (cur > 0.0) & (prev > 0.0) & (
+            jnp.abs(cur - prev) > allowed * jnp.maximum(cur, 1e-12))
+        new = jnp.where(bad, 0.0, cur)
+        return new, new
+
+    _, out = jax.lax.scan(step, jnp.float32(0.0), f0)
+    return out
+
+
+def _ffill(v: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Forward-fill v where ~mask with the last mask-true value."""
+
+    def step(carry, inp):
+        vi, mi = inp
+        new = jnp.where(mi, vi, carry)
+        return new, new
+
+    _, out = jax.lax.scan(step, v[0], (v, mask))
+    return out
+
+
+def _biquad(v: jnp.ndarray) -> jnp.ndarray:
+    b0, b1, b2 = HARVEST_SMOOTH_B
+    a1, a2 = HARVEST_SMOOTH_A1, HARVEST_SMOOTH_A2
+
+    def step(carry, xi):
+        x1, x2, y1, y2 = carry
+        yi = b0 * xi + b1 * x1 + b2 * x2 - a1 * y1 - a2 * y2
+        return (xi, x1, yi, y1), yi
+
+    init = (v[0], v[0], v[0], v[0])   # settled at the first value
+    _, out = jax.lax.scan(step, init, v)
+    return out
+
+
+def _smooth(f0: jnp.ndarray) -> jnp.ndarray:
+    """Zero-phase biquad on the voiced contour (WORLD SmoothF0Contour).
+
+    Gap frames are filled so each filtering pass enters every voiced
+    segment already settled at that segment's edge value — the same state
+    WORLD reaches by padding each segment with 300 copies of its edge:
+    the forward pass sees gaps filled with the UPCOMING segment's head
+    (backward fill), the backward pass sees gaps filled with the
+    PREVIOUS output's tail (forward fill).
+    """
+    v = f0 > 0.0
+    bfill = _ffill(f0[::-1], v[::-1])[::-1]       # next voiced value
+    xf = jnp.where(v, f0, bfill)
+    yf = _biquad(xf)
+    ffwd = _ffill(yf, v)
+    xb = jnp.where(v, yf, ffwd)
+    yb = _biquad(xb[::-1])[::-1]
+    return jnp.where(v, yb, 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "hop", "f0_floor", "f0_ceil"))
+def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
+            hop: int = DEFAULT_WORLD.hop,
+            f0_floor: float = DEFAULT_WORLD.f0_floor,
+            f0_ceil: float = DEFAULT_WORLD.f0_ceil) -> jnp.ndarray:
+    """Estimate f0 for every frame of ``x``; 0 Hz marks unvoiced frames.
+
+    Args: x [T] waveform at rate fs.  Returns [T//hop + 1] f0 in Hz.
+    """
+    if fs % 1000:
+        raise ValueError(f"harvest needs fs divisible by 1000, got {fs}")
+    if (hop * 1000) % fs:
+        raise ValueError(f"hop {hop} is not a whole number of ms at {fs}")
+    x = x.astype(jnp.float32)
+    n_out = x.shape[0] // hop + 1
+    floor = f0_floor * HARVEST_FLOOR_ADJUST
+    ceil = f0_ceil * HARVEST_CEIL_ADJUST
+
+    # decimation ratio: highest divisor of fs keeping >= target rate AND a
+    # whole number of decimated samples per 1 ms
+    ratio = 1
+    for r in range(1, 13):
+        if fs % r == 0 and fs / r >= HARVEST_TARGET_FS and (fs // r) % 1000 == 0:
+            ratio = r
+    fs_d = fs // ratio
+    y = filters.decimate(x, ratio)
+    y = y - jnp.mean(y)
+
+    bfs_t = _boundary_f0s(f0_floor, f0_ceil)
+    filtered = filters.bandpass_bank_fft(y, fs_d, bfs_t)     # [C, Td]
+
+    hop_1ms_d = fs_d // 1000
+    n_1ms = (x.shape[0] * 1000) // fs + 1
+    tracks = jax.vmap(
+        lambda s: _channel_tracks(s, fs_d, n_1ms, hop_1ms_d))(filtered)
+    cand, dev = _channel_candidates(
+        tracks, jnp.asarray(bfs_t, jnp.float32), floor, ceil)
+
+    merged_v, _ = _merge_channels(cand, dev)                 # [N, K]
+    refined, scores = _refine_and_score(x, merged_v, fs, fs // 1000, n_1ms)
+
+    best = jnp.argmax(scores, axis=-1)
+    f0 = jnp.take_along_axis(refined, best[:, None], axis=-1)[:, 0]
+    best_score = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
+    f0 = jnp.where(best_score > 0.0, f0, 0.0)
+
+    f0 = _guided_reselect(f0, refined, scores)
+    f0 = _fix_step1_scan(f0, HARVEST_STEP1_ALLOWED)
+    f0 = _fix_step_remove_short_runs(f0, HARVEST_VOICE_RANGE_MIN)
+    f0 = _extend_scan(f0, refined, HARVEST_EXTENSION_ALLOWED)
+    f0 = _extend_scan(f0[::-1], refined[::-1],
+                      HARVEST_EXTENSION_ALLOWED)[::-1]
+    f0 = _fix_step1_scan(f0, HARVEST_STEP1_ALLOWED)
+    f0 = _fix_step_remove_short_runs(f0, HARVEST_VOICE_RANGE_MIN)
+    f0 = _smooth(f0)
+
+    step = (hop * 1000) // fs                                # ms per frame
+    out = f0[:: step]
+    return out[:n_out]
+
+
+def harvest_config(x: jnp.ndarray,
+                   cfg: WorldConfig = DEFAULT_WORLD) -> jnp.ndarray:
+    return harvest(x, fs=cfg.fs, hop=cfg.hop, f0_floor=cfg.f0_floor,
+                   f0_ceil=cfg.f0_ceil)

@@ -19,6 +19,7 @@ from tpuvc.dsp.cheaptrick import cheaptrick
 from tpuvc.dsp.constants import DEFAULT_WORLD, WorldConfig
 from tpuvc.dsp.d4c import d4c
 from tpuvc.dsp.dio import dio
+from tpuvc.dsp.harvest import harvest
 from tpuvc.dsp.stonemask import stonemask
 from tpuvc.dsp.synthesis import synthesize
 
@@ -31,12 +32,21 @@ class WorldFeatures(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("fs", "hop", "fft_size", "f0_floor",
-                                    "f0_ceil"))
-def _analyze(x, fs, hop, fft_size, f0_floor, f0_ceil):
-    f0_coarse = dio(x, fs=fs, hop=hop, f0_floor=f0_floor, f0_ceil=f0_ceil)
-    f0 = stonemask(x, f0_coarse, hop=hop, fs=fs)
+                                    "f0_ceil", "f0_method", "ap_method"))
+def _analyze(x, fs, hop, fft_size, f0_floor, f0_ceil, f0_method="dio",
+             ap_method="group_delay"):
+    if f0_method == "harvest":
+        # Harvest refines by instantaneous frequency internally — WORLD's
+        # harvest path does not run StoneMask after it
+        f0 = harvest(x, fs=fs, hop=hop, f0_floor=f0_floor, f0_ceil=f0_ceil)
+    elif f0_method == "dio":
+        f0_coarse = dio(x, fs=fs, hop=hop, f0_floor=f0_floor,
+                        f0_ceil=f0_ceil)
+        f0 = stonemask(x, f0_coarse, hop=hop, fs=fs)
+    else:
+        raise ValueError(f"unknown f0 method {f0_method!r}")
     sp = cheaptrick(x, f0, hop=hop, fs=fs, fft_size=fft_size)
-    ap = d4c(x, f0, hop=hop, fs=fs, fft_size=fft_size)
+    ap = d4c(x, f0, hop=hop, fs=fs, fft_size=fft_size, method=ap_method)
     return WorldFeatures(f0=f0, sp=sp, ap=ap)
 
 
@@ -44,7 +54,8 @@ def analyze(x: jnp.ndarray,
             cfg: WorldConfig = DEFAULT_WORLD) -> WorldFeatures:
     """Full analysis of one utterance: f0 + envelope + aperiodicity."""
     return _analyze(jnp.asarray(x, jnp.float32), cfg.fs, cfg.hop,
-                    cfg.fft_size, cfg.f0_floor, cfg.f0_ceil)
+                    cfg.fft_size, cfg.f0_floor, cfg.f0_ceil,
+                    cfg.f0_method, cfg.ap_method)
 
 
 def analyze_batch(xs: jnp.ndarray,
@@ -52,7 +63,8 @@ def analyze_batch(xs: jnp.ndarray,
     """vmapped analysis over [B, T] equal-length (padded) utterances."""
     fn = functools.partial(_analyze, fs=cfg.fs, hop=cfg.hop,
                            fft_size=cfg.fft_size, f0_floor=cfg.f0_floor,
-                           f0_ceil=cfg.f0_ceil)
+                           f0_ceil=cfg.f0_ceil, f0_method=cfg.f0_method,
+                           ap_method=cfg.ap_method)
     return jax.vmap(fn)(jnp.asarray(xs, jnp.float32))
 
 
