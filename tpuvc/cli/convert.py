@@ -20,7 +20,8 @@ import os
 from tpuvc.cli.common import add_platform_flag, apply_platform
 
 
-def load_converter(checkpoint_dir: str, corpus_root: str):
+def load_converter(checkpoint_dir: str, corpus_root: str,
+                   f0_method: str = "dio", ap_method: str = "group_delay"):
     """Build a Converter from a training run dir + corpus etc/ stats."""
     import jax
 
@@ -51,7 +52,12 @@ def load_converter(checkpoint_dir: str, corpus_root: str):
     speakers = corpus_io.read_speakers(etc)
     assets = ConverterAssets(xmin=xmin, xmax=xmax, f0_mu=mu, f0_sigma=sigma,
                              speakers=speakers)
-    return Converter(model, state.params, assets), step
+    import dataclasses as _dc
+
+    from tpuvc.dsp.constants import DEFAULT_WORLD
+    cfg = _dc.replace(DEFAULT_WORLD, f0_method=f0_method,
+                      ap_method=ap_method)
+    return Converter(model, state.params, assets, cfg=cfg), step
 
 
 def main(argv: list[str] | None = None) -> list[str]:
@@ -79,6 +85,11 @@ def main(argv: list[str] | None = None) -> list[str]:
                         ".py) instead of whole-utterance graphs")
     p.add_argument("--chunk_s", type=float, default=1.0,
                    help="streaming chunk seconds (with --streaming)")
+    p.add_argument("--f0-method", default="dio", choices=["dio", "harvest"],
+                   help="f0 estimator inside the conversion graph (match "
+                        "what cli.analyze used for the corpus stats)")
+    p.add_argument("--ap-method", default="group_delay",
+                   choices=["group_delay", "nccf"])
     add_platform_flag(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -86,7 +97,8 @@ def main(argv: list[str] | None = None) -> list[str]:
     from tpuvc.io import corpus as corpus_io
     from tpuvc.io.wav import read_wav, write_wav
 
-    converter, step = load_converter(args.checkpoint, args.corpus)
+    converter, step = load_converter(args.checkpoint, args.corpus,
+                                     args.f0_method, args.ap_method)
     split = (corpus_io.TEST_SPLIT if args.split == "test"
              else corpus_io.TRAIN_SPLIT)
     out_dir = args.output or os.path.join(args.checkpoint, "converted")

@@ -23,6 +23,7 @@ from tpuvc.dsp.cheaptrick import cheaptrick
 from tpuvc.dsp.constants import EPSILON, DEFAULT_WORLD, WorldConfig
 from tpuvc.dsp.d4c import d4c
 from tpuvc.dsp.dio import dio
+from tpuvc.dsp.harvest import harvest
 from tpuvc.dsp.stonemask import stonemask
 from tpuvc.dsp.synthesis import synthesize
 from tpuvc.convert.f0 import convert_f0
@@ -66,13 +67,18 @@ def make_convert_fn(model, cfg: WorldConfig = DEFAULT_WORLD,
     def convert(params, x, y_trg, xmin, xmax, mu_src, sd_src, mu_trg,
                 sd_trg, seed):
         x = x.astype(jnp.float32)
-        # --- analysis (SURVEY.md SS3.1) ---
-        f0_c = dio(x, fs=cfg.fs, hop=cfg.hop, f0_floor=cfg.f0_floor,
-                   f0_ceil=cfg.f0_ceil)
-        f0 = stonemask(x, f0_c, hop=cfg.hop, fs=cfg.fs)
+        # --- analysis (SURVEY.md SS3.1; honors cfg.f0_method/ap_method) ---
+        if cfg.f0_method == "harvest":
+            f0 = harvest(x, fs=cfg.fs, hop=cfg.hop, f0_floor=cfg.f0_floor,
+                         f0_ceil=cfg.f0_ceil)
+        else:
+            f0_c = dio(x, fs=cfg.fs, hop=cfg.hop, f0_floor=cfg.f0_floor,
+                       f0_ceil=cfg.f0_ceil)
+            f0 = stonemask(x, f0_c, hop=cfg.hop, fs=cfg.fs)
         sp = cheaptrick(x, f0, hop=cfg.hop, fs=cfg.fs,
                         fft_size=cfg.fft_size)
-        ap = d4c(x, f0, hop=cfg.hop, fs=cfg.fs, fft_size=cfg.fft_size)
+        ap = d4c(x, f0, hop=cfg.hop, fs=cfg.fs, fft_size=cfg.fft_size,
+                 method=cfg.ap_method)
         # --- spectral conversion (SURVEY.md SS3.3) ---
         u, en = _normalize_sp(sp, xmin, xmax)
         z_mu, z_lv = model.apply(params, u, method=type(model).encode)
