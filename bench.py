@@ -22,6 +22,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the sandbox's remote-compile service takes
+    # 2-10 min per fresh compile of this graph (tunnel-dependent); a warm
+    # cache makes repeat bench runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvc-jax-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from tpuvc.convert.pipeline import make_batch_convert_fn
     from tpuvc.dsp.constants import DEFAULT_WORLD
     from tpuvc.models.vae import init_params, make_model

@@ -16,6 +16,7 @@ from tpuvc.cli import analyze as cli_analyze
 from tpuvc.cli import convert as cli_convert
 from tpuvc.cli import train as cli_train
 from tpuvc.data.synthetic import SPEAKER_DEFS, make_corpus
+from tpuvc.io import corpus as corpus_io
 from tpuvc.dsp.constants import DEFAULT_WORLD
 from tpuvc.dsp.dio import dio_config
 from tpuvc.io import corpus as corpus_io
@@ -157,3 +158,21 @@ def test_convert_rejects_unknown_speaker(corpus, trained):
         cli_convert.main([
             "--src", "SA", "--trg", "NOPE", "--checkpoint", trained,
             "--corpus", corpus])
+
+
+def test_convert_batch_chunking_is_equivalent(corpus, trained):
+    """Requests beyond the per-call HBM budget split into chunked device
+    calls with identical output (Converter.convert_batch)."""
+    from tpuvc.cli.convert import load_converter
+
+    conv, _ = load_converter(trained, corpus)
+    wavs = corpus_io.list_wavs(corpus, corpus_io.TEST_SPLIT, "SA")
+    xs = [read_wav(w)[0].astype(np.float32) for w in wavs] * 4
+    n = len(xs)
+    ref = conv.convert_batch(xs, ["SA"] * n, ["SB"] * n, seed=0)
+    conv2, _ = load_converter(trained, corpus)
+    conv2.MAX_AUDIO_S_PER_CALL = 1.0   # forces multiple tiny chunks
+    chunked = conv2.convert_batch(xs, ["SA"] * n, ["SB"] * n, seed=0)
+    assert len(chunked) == n
+    for a, b in zip(ref, chunked):
+        np.testing.assert_allclose(a, b, atol=1e-5)

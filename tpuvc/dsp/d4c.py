@@ -105,24 +105,6 @@ def _love_ratio(ps: jnp.ndarray, fs: int, fft_size: int) -> jnp.ndarray:
     return num / jnp.maximum(den, 1e-20)
 
 
-def _centroid_wave(seg: jnp.ndarray, f0: jnp.ndarray, fs: int, sign: float
-                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Unit-energy windowed wave at t + sign/(4 f0) and its affine
-    time-weight constant (hl4 - shift), for the group-delay numerator.
-
-    Time origin is the window start (as WORLD/the oracle measure it): the
-    weight is affine in the frame-centered index b, so after the FFTs
-    Y = FFT(wave * b) + (hl4 - shift) * X and C = Re{X* Y}.
-    """
-    shift = jnp.rint(sign * 0.25 * fs / f0)
-    wave, _ = _windowed(seg, f0, fs, 4.0, "blackman", shift=shift)
-    power = jnp.sum(wave * wave, axis=-1, keepdims=True)
-    wave = wave / jnp.sqrt(jnp.maximum(power, 1e-30))
-    hl4 = jnp.rint(2.0 * fs / f0)[:, None]
-    const = (hl4 - shift[:, None]).astype(jnp.float32)
-    return wave, const
-
-
 def _coarse_band_ap(sgd: jnp.ndarray, fs: int, fft_size: int,
                     n_bands: int) -> jnp.ndarray:
     """Sorted-power concentration statistic per 3 kHz band -> [N, n_bands] dB."""
@@ -148,6 +130,61 @@ def _coarse_band_ap(sgd: jnp.ndarray, fs: int, fft_size: int,
                      axis=-1)
 
 
+def _all_windows(seg: jnp.ndarray, f0: jnp.ndarray, fs: int
+                 ) -> tuple[jnp.ndarray, ...]:
+    """The four pitch-adaptive windows of the group-delay path from ONE
+    cos/sin pair.
+
+    With theta = 2 pi b f0 / (12 fs), the Hanning-3 window needs
+    cos(4 theta), the Hanning-4 cos(3 theta), and the two shifted
+    Blackman-4 windows cos(3 theta - delta) / cos(6 theta - 2 delta)
+    where delta = 2 pi shift f0 / (4 fs) is a per-frame SCALAR — so all
+    window trig is polynomial in one [N, D] cos/sin grid plus [N, 1]
+    scalar rotations (the roofline showed per-window transcendentals
+    dominating D4C's reduce fusions; 70 -> 66 ms/call at batch 128 x 4 s).
+    Returns (w_lt, w_c1, w_c2, w_p, shift1, shift2).
+    """
+    d = seg.shape[-1]
+    b = jnp.arange(d, dtype=jnp.float32)[None, :] - d // 2
+    f0c = f0[:, None]
+    theta = 2.0 * jnp.pi * b * f0c / (12.0 * fs)
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    c, s = jax.lax.optimization_barrier((c, s))
+    cc = c * c
+    c2 = 2.0 * cc - 1.0
+    c3 = c * (4.0 * cc - 3.0)
+    s3 = s * (3.0 - 4.0 * s * s)
+    c4 = 2.0 * c2 * c2 - 1.0
+    c6 = 2.0 * c3 * c3 - 1.0
+    s6 = 2.0 * s3 * c3
+
+    hl3 = jnp.rint(1.5 * fs / f0c)
+    hl4 = jnp.rint(2.0 * fs / f0c)
+    w_lt = jnp.where(jnp.abs(b) <= hl3, 0.5 + 0.5 * c4, 0.0)
+    w_p = jnp.where(jnp.abs(b) <= hl4, 0.5 + 0.5 * c3, 0.0)
+
+    shift1 = jnp.rint(-0.25 * fs / f0)                  # [N]
+    delta = 2.0 * jnp.pi * shift1[:, None] * f0c / (4.0 * fs)
+    cd, sd = jnp.cos(delta), jnp.sin(delta)             # [N, 1] scalars
+    c2d = 2.0 * cd * cd - 1.0
+    s2d = 2.0 * sd * cd
+    # cos(3t - d) = c3 cd + s3 sd; shift2 = -shift1 -> delta flips sign
+    bl = lambda sgn: (0.42 + 0.5 * (c3 * cd + sgn * s3 * sd)  # noqa: E731
+                      + 0.08 * (c6 * c2d + sgn * s6 * s2d))
+    w_c1 = jnp.where(jnp.abs(b - shift1[:, None]) <= hl4, bl(1.0), 0.0)
+    w_c2 = jnp.where(jnp.abs(b + shift1[:, None]) <= hl4, bl(-1.0), 0.0)
+    return (*jax.lax.optimization_barrier((w_lt, w_c1, w_c2, w_p)),
+            shift1, -shift1)
+
+
+def _apply_window(seg: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """seg * w with WORLD's weighted-mean removal (see _windowed)."""
+    wave = seg * w
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    return wave - w * (jnp.sum(wave, axis=-1, keepdims=True) / wsum)
+
+
 def _group_delay_coarse(x: jnp.ndarray, f0: jnp.ndarray, hop: int, fs: int,
                         n_bands: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Coarse band aperiodicities [N, n_bands] (dB) + LoveTrain [N].
@@ -165,10 +202,18 @@ def _group_delay_coarse(x: jnp.ndarray, f0: jnp.ndarray, hop: int, fs: int,
     seg = frame_signal(x, hop, d, n)
     b = jnp.arange(d, dtype=jnp.float32)[None, :] - d // 2
 
-    wave_lt, _ = _windowed(seg, f0, fs, 3.0, "hanning")
-    wave_c1, const1 = _centroid_wave(seg, f0, fs, -1.0)
-    wave_c2, const2 = _centroid_wave(seg, f0, fs, 1.0)
-    wave_p, _ = _windowed(seg, f0, fs, 4.0, "hanning")
+    w_lt, w_c1, w_c2, w_p, shift1, shift2 = _all_windows(seg, f0, fs)
+    wave_lt = _apply_window(seg, w_lt)
+    wave_p = _apply_window(seg, w_p)
+    hl4 = jnp.rint(2.0 * fs / f0)[:, None]
+    wave_c1 = _apply_window(seg, w_c1)
+    wave_c1 = wave_c1 / jnp.sqrt(jnp.maximum(
+        jnp.sum(wave_c1 * wave_c1, axis=-1, keepdims=True), 1e-30))
+    const1 = (hl4 - shift1[:, None]).astype(jnp.float32)
+    wave_c2 = _apply_window(seg, w_c2)
+    wave_c2 = wave_c2 / jnp.sqrt(jnp.maximum(
+        jnp.sum(wave_c2 * wave_c2, axis=-1, keepdims=True), 1e-30))
+    const2 = (hl4 - shift2[:, None]).astype(jnp.float32)
     stacked = jnp.concatenate([wave_lt, wave_c1, wave_c1 * b,
                                wave_c2, wave_c2 * b, wave_p], axis=0)
     # the six forward transforms as ONE batched MXU matmul DFT (ops/dft.py;
