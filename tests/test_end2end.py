@@ -176,3 +176,17 @@ def test_convert_batch_chunking_is_equivalent(corpus, trained):
     assert len(chunked) == n
     for a, b in zip(ref, chunked):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_evaluate_cli_roundtrip_and_conversion_mcd(corpus, trained):
+    """cli.evaluate: round-trip MCD gauge + conversion-MCD mode."""
+    from tpuvc.cli import evaluate as cli_evaluate
+
+    rt = cli_evaluate.main(["--corpus", corpus, "--limit", "1",
+                            "--platform", "cpu"])
+    assert rt["n_utterances"] == 1 and np.isfinite(rt["mean"])
+    assert rt["mean"] < 8.0, f"round-trip MCD {rt['mean']} implausibly high"
+    cv = cli_evaluate.main(["--corpus", corpus, "--checkpoint", trained,
+                            "--src", "SA", "--trg", "SB", "--limit", "1",
+                            "--platform", "cpu"])
+    assert cv["n_utterances"] >= 1 and np.isfinite(cv["mean"])
