@@ -27,6 +27,11 @@ _EXPORTS = {
     "analyze": ("tpuvc.dsp.world", "analyze"),
     "analyze_batch": ("tpuvc.dsp.world", "analyze_batch"),
     "synthesize": ("tpuvc.dsp.synthesis", "synthesize"),
+    "dio": ("tpuvc.dsp.dio", "dio"),
+    "harvest": ("tpuvc.dsp.harvest", "harvest"),
+    "stonemask": ("tpuvc.dsp.stonemask", "stonemask"),
+    "cheaptrick": ("tpuvc.dsp.cheaptrick", "cheaptrick"),
+    "d4c": ("tpuvc.dsp.d4c", "d4c"),
     "WorldConfig": ("tpuvc.dsp.constants", "WorldConfig"),
     "Converter": ("tpuvc.convert.pipeline", "Converter"),
     "StreamingConverter": ("tpuvc.convert.streaming", "StreamingConverter"),
