@@ -43,3 +43,34 @@ def test_shard_batch_layout(mesh):
     xs3 = mesh_lib.shard_batch(mesh, x3, batch_axis=1)
     assert xs3.sharding.spec == jax.sharding.PartitionSpec(
         None, mesh_lib.DATA_AXIS)
+
+
+def test_sharded_batch_conversion_matches_single_device(mesh):
+    """DP serving (SURVEY SS2.4): convert_batch over the 8-device mesh ==
+    the single-device result."""
+    import jax.numpy as jnp
+
+    from tpuvc.convert.pipeline import Converter, ConverterAssets
+    from tpuvc.models.vae import init_params, make_model
+    from tpuvc.utils.config import Architecture
+
+    cfg = DEFAULT_WORLD
+    arch = Architecture(model="VAE")
+    model = make_model(arch)
+    params = init_params(model, arch, jax.random.PRNGKey(0))
+    assets = ConverterAssets(
+        xmin=np.full(cfg.sp_dim, -10.0, np.float32),
+        xmax=np.full(cfg.sp_dim, 1.0, np.float32),
+        f0_mu=np.full(10, 5.0, np.float32),
+        f0_sigma=np.ones(10, np.float32),
+        speakers=[f"S{i}" for i in range(10)])
+    conv = Converter(model, params, assets, cfg=cfg)
+    xs = [make_harmonic(120.0 + 10 * i, fs=cfg.fs, dur_s=0.5, n_harm=6,
+                        noise=0.002, seed=i) for i in range(8)]
+    srcs = ["S0"] * 8
+    trgs = [f"S{1 + i % 3}" for i in range(8)]
+    ref = conv.convert_batch(xs, srcs, trgs, seed=3)
+    got = conv.convert_batch(xs, srcs, trgs, seed=3, mesh=mesh)
+    assert len(got) == len(ref)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(a, b, atol=2e-4)

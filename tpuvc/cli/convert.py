@@ -90,6 +90,9 @@ def main(argv: list[str] | None = None) -> list[str]:
                         "what cli.analyze used for the corpus stats)")
     p.add_argument("--ap-method", default="group_delay",
                    choices=["group_delay", "nccf"])
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batched (--all_pairs) conversion over all "
+                        "local devices (DP serving, SURVEY.md SS2.4)")
     add_platform_flag(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -125,7 +128,12 @@ def main(argv: list[str] | None = None) -> list[str]:
                     trgs.append(trg)
                     names.append(f"{src}-to-{trg}-{utt}.wav")
         outputs = []
-        ys = converter.convert_batch(xs, srcs, trgs, seed=args.seed)
+        mesh = None
+        if args.data_parallel:
+            from tpuvc.parallel import mesh as mesh_lib
+            mesh = mesh_lib.make_mesh()
+        ys = converter.convert_batch(xs, srcs, trgs, seed=args.seed,
+                                     mesh=mesh)
         for name, y in zip(names, ys):
             out = os.path.join(out_dir, name)
             write_wav(out, y, converter.cfg.fs)

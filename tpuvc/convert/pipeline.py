@@ -151,13 +151,19 @@ class Converter:
 
     def convert_batch(self, xs: list[np.ndarray], srcs: list[str],
                       trgs: list[str], seed: int = 0,
-                      fs: int | None = None) -> list[np.ndarray]:
+                      fs: int | None = None, mesh=None) -> list[np.ndarray]:
         """Convert many utterances in batched device calls (vmapped graph).
 
         Utterances are padded to the largest common bucket; per-utterance
         source/target speakers may differ (all-pairs many-to-many,
         BASELINE config 4).  Requests beyond the per-call HBM budget are
         split into equal chunks padded to one shape (single compile).
+
+        With ``mesh`` (a `tpuvc.parallel.mesh` data mesh) the batch axis
+        is sharded over the mesh's devices and parameters replicate — the
+        data-parallel serving configuration (SURVEY.md SS2.4): pjit
+        propagates the input shardings through the vmapped graph, so N
+        chips convert N-x the batch with no code change to the graph.
         """
         if not xs:
             return []
@@ -169,13 +175,33 @@ class Converter:
                                   *[a.speakers.index(t) for t in trgs])
         lens = [len(x) for x in xs]
         t_pad = max(1, -(-max(lens) // self.bucket)) * self.bucket
-        max_b = max(1, int(self.MAX_AUDIO_S_PER_CALL
-                           / (t_pad / self.cfg.fs)))
+        budget = self.MAX_AUDIO_S_PER_CALL
+        n_dev = 1
+        if mesh is not None:
+            from tpuvc.parallel import mesh as mesh_lib
+            n_dev = mesh.shape[mesh_lib.DATA_AXIS]
+            budget *= n_dev                 # per-chip HBM budget scales
+        max_b = max(1, int(budget / (t_pad / self.cfg.fs)))
         n = len(xs)
         n_chunks = -(-n // max_b)
         b = -(-n // n_chunks)             # equal chunk size, one compile
+        b = -(-b // n_dev) * n_dev        # divisible over the mesh
         si = np.array([a.speakers.index(s) for s in srcs], np.int32)
         ti = np.array([a.speakers.index(t) for t in trgs], np.int32)
+
+        def put(arr, batched):
+            if mesh is None:
+                return jnp.asarray(arr)
+            from tpuvc.parallel import mesh as mesh_lib
+            s = (mesh_lib.batch_sharding(mesh) if batched
+                 else mesh_lib.replicated(mesh))
+            return jax.device_put(np.asarray(arr), s)
+
+        if mesh is None:
+            params = self.params
+        else:
+            from tpuvc.parallel import mesh as mesh_lib
+            params = jax.device_put(self.params, mesh_lib.replicated(mesh))
         outs: list[np.ndarray] = []
         for lo in range(0, n, b):
             hi = min(lo + b, n)
@@ -187,14 +213,14 @@ class Converter:
             idx = np.concatenate([np.arange(lo, hi),
                                   np.full(pad_b, hi - 1, np.int64)])
             seeds = seed + idx.astype(np.int32)
-            y = self._batch_fn(self.params, jnp.asarray(np.stack(rows)),
-                               jnp.asarray(ti[idx]),
-                               jnp.asarray(a.xmin), jnp.asarray(a.xmax),
-                               jnp.asarray(a.f0_mu[si[idx]]),
-                               jnp.asarray(a.f0_sigma[si[idx]]),
-                               jnp.asarray(a.f0_mu[ti[idx]]),
-                               jnp.asarray(a.f0_sigma[ti[idx]]),
-                               jnp.asarray(seeds))
+            y = self._batch_fn(params, put(np.stack(rows), True),
+                               put(ti[idx], True),
+                               put(a.xmin, False), put(a.xmax, False),
+                               put(a.f0_mu[si[idx]], True),
+                               put(a.f0_sigma[si[idx]], True),
+                               put(a.f0_mu[ti[idx]], True),
+                               put(a.f0_sigma[ti[idx]], True),
+                               put(seeds, True))
             y = np.asarray(y)
             outs.extend(y[i, :lens[lo + i]] for i in range(hi - lo))
         return outs
