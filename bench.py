@@ -22,9 +22,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: the sandbox's remote-compile service takes
-    # 2-10 min per fresh compile of this graph (tunnel-dependent); a warm
-    # cache makes repeat bench runs start in seconds.
+    # Persistent compile cache (helps CPU/cached backends; measured NOT to
+    # cover the axon remote-compile path, which takes 2-10 min per process
+    # depending on tunnel load — budget for it when scheduling this bench).
     jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvc-jax-cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 

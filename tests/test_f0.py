@@ -135,3 +135,14 @@ def test_harvest_tracks_vibrato():
     assert np.mean(m) > 0.95
     err = np.abs(mid_est[m] - mid_ref[m]) / mid_ref[m]
     assert np.median(err) < 0.01 and err.max() < 0.05
+
+
+def test_harvest_short_signals_are_finite():
+    from tpuvc.dsp.harvest import harvest_config
+    cfg = DEFAULT_WORLD
+    for n in (300, 1700):
+        x = 0.3 * np.sin(2 * np.pi * 150.0
+                         * np.arange(n) / cfg.fs).astype(np.float32)
+        f0 = np.asarray(harvest_config(x, cfg))
+        assert f0.shape == (n // cfg.hop + 1,)
+        assert np.isfinite(f0).all()
