@@ -86,7 +86,9 @@ def report(trace_dir: str, top_n: int = 30) -> None:
                and e["pid"] in device_pids}
 
     per_op = collections.Counter()          # name -> us (device self time)
-    op_meta = {}                            # name -> (tf_op, bytes, flops)
+    op_bytes = collections.Counter()        # accumulated over all events
+    op_flops = collections.Counter()        #   of the op (one per traced
+    op_scope = {}                           #   invocation)
     per_stage = collections.Counter()
     stage_bytes = collections.Counter()
     stage_flops = collections.Counter()
@@ -101,7 +103,9 @@ def report(trace_dir: str, top_n: int = 30) -> None:
         nbytes = float(a.get("bytes_accessed", 0) or 0)
         flops = float(a.get("model_flops", 0) or 0)
         per_op[name] += dur
-        op_meta[name] = (tf_op, nbytes, flops)
+        op_bytes[name] += nbytes
+        op_flops[name] += flops
+        op_scope[name] = tf_op
         total_us += dur
         low = (name + " " + tf_op).lower()
         stage = next((s for s in STAGES if s in low), "other")
@@ -122,8 +126,8 @@ def report(trace_dir: str, top_n: int = 30) -> None:
               f"{bw:7.1f} GB/s  {fl:8.1f} GFLOP/s")
     print("\n== top ops by device self time ==")
     for name, us in per_op.most_common(top_n):
-        tf_op, nbytes, flops = op_meta[name]
-        bw = nbytes / max(us, 1e-9) / 1e3
+        bw = op_bytes[name] / max(us, 1e-9) / 1e3
+        tf_op = op_scope.get(name, "")
         scope = tf_op.split("/")[-1][:48] if tf_op else ""
         print(f"  {us / 1e6:8.4f} s  {100.0 * us / total_us:5.1f}%  "
               f"{bw:7.1f} GB/s  {name[:40]:40s} {scope}")

@@ -19,7 +19,6 @@ from tpuvc.data.synthetic import SPEAKER_DEFS, make_corpus
 from tpuvc.io import corpus as corpus_io
 from tpuvc.dsp.constants import DEFAULT_WORLD
 from tpuvc.dsp.dio import dio_config
-from tpuvc.io import corpus as corpus_io
 from tpuvc.io.records import read_bin
 from tpuvc.io.wav import read_wav
 

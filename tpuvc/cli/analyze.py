@@ -51,6 +51,14 @@ def main(argv: list[str] | None = None) -> None:
             f"({fft_size // 2 + 1} spectral bins), but the reference record "
             f"format is pinned at {SP_DIM} bins (fft 1024); supported rates "
             f"satisfy cheaptrick_fft_size(fs) == 1024 (e.g. 16000, 22050)")
+    if args.f0_method == "harvest":
+        hop = int(args.fs * args.frame_period_ms / 1000.0)
+        if args.fs % 1000 or (hop * 1000) % args.fs:
+            p.error(
+                f"--f0-method harvest needs fs divisible by 1000 and a "
+                f"whole-ms frame period (its internal grid is 1 ms); got "
+                f"fs={args.fs}, frame_period={args.frame_period_ms} ms — "
+                f"use --f0-method dio for this rate")
     cfg = WorldConfig(fs=args.fs, frame_period_ms=args.frame_period_ms,
                       fft_size=fft_size, f0_method=args.f0_method,
                       ap_method=args.ap_method)

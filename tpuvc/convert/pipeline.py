@@ -148,6 +148,11 @@ class Converter:
     # at ~512 s of audio on a 16 GB chip (docs/PERFORMANCE.md); larger
     # requests are chunked over calls that share one compiled graph.
     MAX_AUDIO_S_PER_CALL = 384.0
+    # The harvest graph is far heavier per audio-second: candidate
+    # refinement alone holds several [B, 1000*dur, K=10, W~768] f32
+    # buffers live (~120 MB per audio-second across the barrier'd
+    # operands), so ~16 GB HBM supports only tens of seconds per call.
+    MAX_AUDIO_S_PER_CALL_HARVEST = 32.0
 
     def convert_batch(self, xs: list[np.ndarray], srcs: list[str],
                       trgs: list[str], seed: int = 0,
@@ -175,7 +180,9 @@ class Converter:
                                   *[a.speakers.index(t) for t in trgs])
         lens = [len(x) for x in xs]
         t_pad = max(1, -(-max(lens) // self.bucket)) * self.bucket
-        budget = self.MAX_AUDIO_S_PER_CALL
+        budget = (self.MAX_AUDIO_S_PER_CALL_HARVEST
+                  if self.cfg.f0_method == "harvest"
+                  else self.MAX_AUDIO_S_PER_CALL)
         n_dev = 1
         if mesh is not None:
             from tpuvc.parallel import mesh as mesh_lib
@@ -185,7 +192,10 @@ class Converter:
         n = len(xs)
         n_chunks = -(-n // max_b)
         b = -(-n // n_chunks)             # equal chunk size, one compile
-        b = -(-b // n_dev) * n_dev        # divisible over the mesh
+        # mesh divisibility rounds DOWN (rounding up could push a chunk
+        # past the per-chip HBM budget); the tail chunk pads up to b rows,
+        # which stays within budget because b <= max_b
+        b = max(n_dev, (b // n_dev) * n_dev)
         si = np.array([a.speakers.index(s) for s in srcs], np.int32)
         ti = np.array([a.speakers.index(t) for t in trgs], np.int32)
 

@@ -59,10 +59,21 @@ HARVEST_TARGET_FS = 8000.0       # decimated candidate-generation rate
 HARVEST_FLOOR_ADJUST = 0.9       # widened search range for candidates
 HARVEST_CEIL_ADJUST = 1.1
 HARVEST_CONSISTENCY = 0.2        # (r) max rel deviation of the 4 tracks
+HARVEST_BAND_GATE_HIGH = 1.1     # (r) channel accepts means in
+#   [boundary/2, boundary * this] — the band-pass keeps the fundamental
+#   only near its center frequency
 HARVEST_MERGE_TOLERANCE = 0.03   # (r) adjacent-channel candidate merge
 HARVEST_MAX_CANDIDATES = 10      # (r) merged candidates kept per frame
 HARVEST_REFINE_LIMIT = 0.2       # reject IF refinement deviating >20%
-HARVEST_REFINE_WINDOW = 768      # covers 3 periods at the adjusted floor
+
+
+def harvest_refine_window(fs: int, f0_floor: float) -> int:
+    """Refinement buffer length: 3 Blackman periods at the ADJUSTED floor
+    (the lowest frequency a candidate can carry), padded to a lane
+    multiple.  768 at fs=16k / floor 71 Hz."""
+    floor = f0_floor * HARVEST_FLOOR_ADJUST
+    need = 2 * int(1.5 * fs / floor + 1.0) + 1
+    return -(-need // 128) * 128
 HARVEST_RESELECT_HALF = 15       # (r) moving-median guide, +-frames (1 ms)
 HARVEST_RESELECT_REL = 0.15      # (r) contour-disagreement threshold
 HARVEST_STEP1_ALLOWED = 0.03     # (r) per-1ms relative jump limit

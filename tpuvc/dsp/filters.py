@@ -48,30 +48,37 @@ def decimate(x: jnp.ndarray, ratio: int) -> jnp.ndarray:
     return y[..., ::ratio]
 
 
-def bandpass_bank_fft(x: jnp.ndarray, fs: float,
-                      boundary_f0s: tuple[float, ...]) -> jnp.ndarray:
-    """Bank of WORLD-Harvest-style band-pass filters in one batched FFT.
+def _fir_bank_fft(x: jnp.ndarray, fs: float,
+                  boundary_f0s: tuple[float, ...], periods_half: float,
+                  modulate: bool, normalize_dc: bool) -> jnp.ndarray:
+    """Shared FIR-bank machinery for the DIO/Harvest channel filters.
 
-    Harvest's GetFilteredSignal: each channel's FIR is a Nuttall window
-    spanning 4 periods of the boundary frequency modulated by
-    cos(2 pi bf t) — a band-pass centered at bf whose output's zero
-    crossings track the fundamental when f0 ~ bf.  Applied zero-phase
-    (group delay removed) so event times line up across channels.
+    Each channel's FIR is a Nuttall window spanning ``2 * periods_half``
+    periods of its boundary frequency, optionally modulated by
+    cos(2 pi bf t) (band-pass) and optionally normalized to unit DC gain
+    (low-pass).  All channels are evaluated on a common max-length tap
+    grid (masked per channel), FFT'd once, and applied zero-phase (the
+    per-channel group delay removed) so event times line up across
+    channels.
 
-    Args: x [T]; fs its rate; boundary_f0s STATIC python floats.
-    Returns [C, T].
+    Args: x [T]; fs its rate; boundary_f0s STATIC python floats (they
+    determine filter lengths, hence shapes).  Returns [C, T].
     """
     t_len = x.shape[-1]
     c = len(boundary_f0s)
     bounds = jnp.asarray(boundary_f0s, jnp.float32)
-    half = jnp.rint(2.0 * fs / bounds).astype(jnp.int32)   # 2 periods
+    half = jnp.rint(periods_half * fs / bounds).astype(jnp.int32)
     fir_len = 2 * half + 1                                  # [C]
-    max_len = int(2 * round(2.0 * fs / min(boundary_f0s)) + 1)
+    max_len = int(2 * round(periods_half * fs / min(boundary_f0s)) + 1)
     pos = jnp.arange(max_len)[None, :].astype(jnp.float32)  # [1, L]
     taps = nuttall(jnp.broadcast_to(pos, (c, max_len)), fir_len[:, None])
-    centered = pos - half[:, None].astype(jnp.float32)
-    taps = taps * jnp.cos(2.0 * jnp.pi * bounds[:, None] * centered / fs)
+    if modulate:
+        centered = pos - half[:, None].astype(jnp.float32)
+        taps = taps * jnp.cos(2.0 * jnp.pi * bounds[:, None] * centered
+                              / fs)
     taps = jnp.where(pos < fir_len[:, None], taps, 0.0)
+    if normalize_dc:
+        taps = taps / jnp.sum(taps, axis=-1, keepdims=True)
     nfft = 1
     while nfft < t_len + max_len:
         nfft *= 2
@@ -81,6 +88,19 @@ def bandpass_bank_fft(x: jnp.ndarray, fs: float,
     delay = (fir_len - 1) // 2
     idx = jnp.arange(t_len)[None, :] + delay[:, None]
     return jnp.take_along_axis(y, idx, axis=-1)
+
+
+def bandpass_bank_fft(x: jnp.ndarray, fs: float,
+                      boundary_f0s: tuple[float, ...]) -> jnp.ndarray:
+    """Bank of WORLD-Harvest-style band-pass filters in one batched FFT.
+
+    Harvest's GetFilteredSignal: a Nuttall window spanning 4 periods of
+    the boundary frequency modulated by cos(2 pi bf t) — a band-pass
+    centered at bf whose output's zero crossings track the fundamental
+    when f0 ~ bf.
+    """
+    return _fir_bank_fft(x, fs, boundary_f0s, periods_half=2.0,
+                         modulate=True, normalize_dc=False)
 
 
 def lowpass_bank_fft(x: jnp.ndarray, fs: float,
@@ -107,25 +127,5 @@ def lowpass_bank_fft(x: jnp.ndarray, fs: float,
     Returns: [C, T] filtered signals, group delay removed (zero-phase
     alignment so event times line up across channels).
     """
-    t_len = x.shape[-1]
-    c = len(boundary_f0s)
-    bounds = jnp.asarray(boundary_f0s, jnp.float32)
-    # per-channel FIR length: 2 periods + 1 (WORLD GetFilteredSignal:
-    # 4 * half_average_length, half_average_length = fs / (2 bf))
-    half = jnp.rint(fs / bounds).astype(jnp.int32)        # 1 period in samples
-    fir_len = 2 * half + 1                                 # [C]
-    max_len = int(2 * round(fs / min(boundary_f0s)) + 1)
-    pos = jnp.arange(max_len)[None, :].astype(jnp.float32)  # [1, L]
-    taps = nuttall(jnp.broadcast_to(pos, (c, max_len)), fir_len[:, None])
-    taps = jnp.where(pos < fir_len[:, None], taps, 0.0)
-    taps = taps / jnp.sum(taps, axis=-1, keepdims=True)    # unit DC gain
-    nfft = 1
-    while nfft < t_len + max_len:
-        nfft *= 2
-    xs = jnp.fft.rfft(x, n=nfft)
-    hs = jnp.fft.rfft(taps, n=nfft, axis=-1)
-    y = jnp.fft.irfft(xs[None, :] * hs, n=nfft, axis=-1)   # [C, nfft]
-    # remove each channel's linear-phase delay of (fir_len-1)/2 samples
-    delay = ((fir_len - 1) // 2)
-    idx = jnp.arange(t_len)[None, :] + delay[:, None]
-    return jnp.take_along_axis(y, idx, axis=-1)
+    return _fir_bank_fft(x, fs, boundary_f0s, periods_half=1.0,
+                         modulate=False, normalize_dc=True)

@@ -41,24 +41,25 @@ import jax
 import jax.numpy as jnp
 
 from tpuvc.dsp import filters
-from tpuvc.dsp.constants import (DEFAULT_WORLD, HARVEST_CEIL_ADJUST,
+from tpuvc.dsp.constants import (DEFAULT_WORLD, HARVEST_BAND_GATE_HIGH,
+                                 HARVEST_CEIL_ADJUST,
                                  HARVEST_CHANNELS_IN_OCTAVE,
                                  HARVEST_CONSISTENCY,
                                  HARVEST_EXTENSION_ALLOWED,
                                  HARVEST_FLOOR_ADJUST, HARVEST_MAX_CANDIDATES,
                                  HARVEST_MERGE_TOLERANCE,
-                                 HARVEST_REFINE_LIMIT, HARVEST_REFINE_WINDOW,
+                                 HARVEST_REFINE_LIMIT,
                                  HARVEST_RESELECT_HALF, HARVEST_RESELECT_REL,
                                  HARVEST_SMOOTH_A1, HARVEST_SMOOTH_A2,
                                  HARVEST_SMOOTH_B, HARVEST_STEP1_ALLOWED,
                                  HARVEST_TARGET_FS, HARVEST_VOICE_RANGE_MIN,
-                                 STONEMASK_NUM_HARMONICS, WorldConfig)
+                                 STONEMASK_NUM_HARMONICS, WorldConfig,
+                                 harvest_refine_window)
 from tpuvc.dsp.dio import (_channel_tracks, _extend_scan,
                            _fix_step_remove_short_runs)
 from tpuvc.ops.framing import frame_signal
 
 _K = HARVEST_MAX_CANDIDATES
-_W = HARVEST_REFINE_WINDOW
 
 
 def _boundary_f0s(f0_floor: float, f0_ceil: float) -> tuple[float, ...]:
@@ -78,7 +79,8 @@ def _channel_candidates(tracks: jnp.ndarray, bfs: jnp.ndarray,
            / jnp.maximum(mean, 1e-12))
     ok = (jnp.all(tracks > 0.0, axis=1) & (dev <= HARVEST_CONSISTENCY)
           & (mean >= floor) & (mean <= ceil)
-          & (mean >= bfs[:, None] / 2.0) & (mean <= bfs[:, None] * 1.1))
+          & (mean >= bfs[:, None] / 2.0)
+          & (mean <= bfs[:, None] * HARVEST_BAND_GATE_HIGH))
     return jnp.where(ok, mean, 0.0), jnp.where(ok, dev, jnp.inf)
 
 
@@ -138,14 +140,17 @@ def _harmonic_amps_if(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
                       with_if: bool) -> tuple:
     """Blackman-windowed direct DFT at the <=6 harmonic frequencies.
 
-    seg [N, W] raw frame-centered samples; f0 [N, K] per-candidate
-    frequencies (>0).  Returns (amps [N, K, H], ifs [N, K, H] or None,
-    energy [N, K]).  All trig derives from one cos/sin pair per candidate
-    (double/triple angle + angle-addition — see dsp/stonemask.py).
+    seg [N, W] raw frame-centered samples (W from
+    constants.harvest_refine_window, so the widest candidate window
+    fits); f0 [N, K] per-candidate frequencies (>0).  Returns
+    (amps [N, K, H], ifs [N, K, H] or None, energy [N, K]).  All trig
+    derives from one cos/sin pair per candidate (double/triple angle +
+    angle-addition — see dsp/stonemask.py).
     """
+    w = seg.shape[-1]
     f0c = f0[..., None]                                     # [N, K, 1]
     hw = jnp.floor(1.5 * fs / f0c + 1.0)
-    base = (jnp.arange(_W, dtype=jnp.float32) - _W // 2)[None, None, :]
+    base = (jnp.arange(w, dtype=jnp.float32) - w // 2)[None, None, :]
     mask = jnp.abs(base) <= hw
     seg3 = jnp.where(mask, seg[:, None, :], 0.0)            # [N, K, W]
 
@@ -189,12 +194,16 @@ def _harmonic_amps_if(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
 
 
 def _refine_and_score(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
-                      hop_1ms: int, n_1ms: int
+                      hop_1ms: int, n_1ms: int, win: int, floor: float
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """IF-refine + score all candidates: [N, K] -> (refined, score)."""
-    seg = frame_signal(x, hop_1ms, _W, n_1ms)               # [N, W]
+    """IF-refine + score all candidates: [N, K] -> (refined, score).
+
+    ``floor`` is the adjusted search floor: valid candidates are >= it by
+    the channel gate, so clamping there only touches the masked invalid
+    slots (no bias on real candidates)."""
+    seg = frame_signal(x, hop_1ms, win, n_1ms)              # [N, W]
     valid = cands > 0.0
-    f0s = jnp.maximum(cands, 40.0)
+    f0s = jnp.maximum(cands, floor)
 
     # pass 1: IF refinement at the candidate frequency
     amps, ifs, _ = _harmonic_amps_if(seg, f0s, fs, with_if=True)
@@ -207,7 +216,7 @@ def _refine_and_score(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
              <= HARVEST_REFINE_LIMIT * jnp.maximum(cands, 1e-12)))
 
     # pass 2: harmonic concentration score at the refined frequency
-    rf = jnp.maximum(refined, 40.0)
+    rf = jnp.maximum(refined, floor)
     amps2, _, energy = _harmonic_amps_if(seg, rf, fs, with_if=False)
     hw = jnp.floor(1.5 * fs / rf + 1.0)
     winlen = 2.0 * hw + 1.0
@@ -352,7 +361,9 @@ def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
         tracks, jnp.asarray(bfs_t, jnp.float32), floor, ceil)
 
     merged_v, _ = _merge_channels(cand, dev)                 # [N, K]
-    refined, scores = _refine_and_score(x, merged_v, fs, fs // 1000, n_1ms)
+    win = harvest_refine_window(fs, f0_floor)
+    refined, scores = _refine_and_score(x, merged_v, fs, fs // 1000,
+                                        n_1ms, win, floor)
 
     best = jnp.argmax(scores, axis=-1)
     f0 = jnp.take_along_axis(refined, best[:, None], axis=-1)[:, 0]
