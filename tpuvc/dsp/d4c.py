@@ -62,31 +62,23 @@ def _nuttall(n: int) -> jnp.ndarray:
             - 0.012604 * jnp.cos(3 * t))
 
 
-def _windowed(seg: jnp.ndarray, f0: jnp.ndarray, fs: int, periods: float,
-              kind: str, shift: jnp.ndarray | None = None
+def _windowed(seg: jnp.ndarray, f0: jnp.ndarray, fs: int, periods: float
               ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Pitch-adaptive window (+ weighted-mean removal) over raw segments.
+    """Pitch-adaptive Hanning window (+ weighted-mean removal), used by
+    the nccf variant; the group-delay path builds its four windows from a
+    shared cos/sin pair instead (_all_windows).
 
-    seg: [N, D] frame-centered raw samples; shift: [N] integer sample
-    offset of the window center (None = centered).  Returns (windowed
-    segment, window).
+    seg: [N, D] frame-centered raw samples.  Returns (windowed segment,
+    window).
     """
     d = seg.shape[-1]
     b = jnp.arange(d, dtype=jnp.float32)[None, :] - d // 2
-    if shift is not None:
-        b = b - shift[:, None].astype(jnp.float32)
     half_len = jnp.rint(periods / 2.0 * fs / f0)[:, None]
     ph = 2.0 * jnp.pi * b * f0[:, None] / (periods * fs)
-    if kind == "hanning":
-        w = 0.5 + 0.5 * jnp.cos(ph)
-    else:  # blackman (cos(2 ph) by double angle: one transcendental, not 2)
-        c = jnp.cos(ph)
-        w = 0.42 + 0.5 * c + 0.08 * (2.0 * c * c - 1.0)
+    w = 0.5 + 0.5 * jnp.cos(ph)
     w = jnp.where(jnp.abs(b) <= half_len, w, 0.0)
     # materialize the window ONCE: without the barrier XLA fuses the cos
-    # chain into every consumer (wsum reduce, weighted-mean reduce, the
-    # subtract, downstream power/centroid reduces), recomputing the
-    # transcendental per fusion and pinning them at ~16-70 GB/s
+    # chain into every consumer fusion (recompute-per-use)
     w = jax.lax.optimization_barrier(w)
     wave = seg * w
     wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
@@ -265,7 +257,7 @@ def _windowed_power_spectrum(x: jnp.ndarray, f0: jnp.ndarray,
                              hop: int, fs: int) -> jnp.ndarray:
     """Hanning window over +-2 periods, batched -> power spectrum [N, K]."""
     seg = frame_signal(x, hop, _NCCF_FFT_SIZE, f0.shape[0])
-    wave, _ = _windowed(seg, f0, fs, 4.0, "hanning")
+    wave, _ = _windowed(seg, f0, fs, 4.0)
     wave = wave - jnp.mean(wave, axis=-1, keepdims=True)
     spec = jnp.fft.rfft(wave, n=_NCCF_FFT_SIZE, axis=-1)
     return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
