@@ -36,7 +36,6 @@ from tpuvc.ops import dft
 from tpuvc.ops.ola import overlap_add
 
 
-@functools.lru_cache(maxsize=4)
 def _minphase_matrices(fft_size: int):
     """Combined (irfft-even -> cepstrum fold -> rfft) operator as one
     [half, half] complex matrix, split into real/imag float32 parts.
@@ -44,22 +43,23 @@ def _minphase_matrices(fft_size: int):
     The whole minimum-phase log-spectrum map is linear in the input
     log-amplitude, so two MXU matmuls replace two full FFTs plus the fold —
     and touch ~3x fewer bytes (measured faster on the target, where ops are
-    effectively bandwidth-bound).
+    effectively bandwidth-bound).  Built ON DEVICE per call (iota trig +
+    one [half, half] matmul pair, ~0.1 ms) instead of as host constants:
+    the two dense [513, 513] literals were part of the ~25 MB constant
+    payload that made remote compiles slow (see ops/dft.py).
     """
-    import numpy as np
+    from tpuvc.ops.dft import _outer_theta
     half = fft_size // 2 + 1
-    m = np.arange(half)
-    k = np.arange(half)
-    # irfft of the even extension: c_k = (1/N)(a0 + 2 sum a_m cos + aN/2 cos)
-    cosmat = np.cos(2.0 * np.pi * np.outer(m, k) / fft_size)
-    coef = np.ones(half)
-    coef[1:half - 1] = 2.0
+    th = _outer_theta(half, half, 2.0 * jnp.pi / fft_size)
+    cosmat = jnp.cos(th)
+    coef = jnp.full((half,), 2.0).at[0].set(1.0).at[half - 1].set(1.0)
     c1 = cosmat * coef[:, None] / fft_size          # a[m] -> cep[k]
-    fold_w = np.ones(half)
-    fold_w[1:half - 1] = 2.0                         # causal fold weights
-    f = np.exp(-2j * np.pi * np.outer(k, k) / fft_size)  # fold -> spectrum
-    kk = (c1 * fold_w[None, :]) @ f                  # [m, j] complex
-    return (kk.real.astype(np.float32), kk.imag.astype(np.float32))
+    fold_w = jnp.full((half,), 2.0).at[0].set(1.0).at[half - 1].set(1.0)
+    a = c1 * fold_w[None, :]
+    # fold -> spectrum: F = exp(-i th) = cos(th) - i sin(th); a is real
+    kr = jnp.dot(a, cosmat, preferred_element_type=jnp.float32)
+    ki = jnp.dot(a, -jnp.sin(th), preferred_element_type=jnp.float32)
+    return kr, ki
 
 
 def minimum_phase_spectrum(log_amp_half: jnp.ndarray,
@@ -72,8 +72,8 @@ def minimum_phase_spectrum(log_amp_half: jnp.ndarray,
     """
     kr, ki = _minphase_matrices(fft_size)
     a = log_amp_half.astype(jnp.float32)
-    re = jnp.dot(a, jnp.asarray(kr), preferred_element_type=jnp.float32)
-    im = jnp.dot(a, jnp.asarray(ki), preferred_element_type=jnp.float32)
+    re = jnp.dot(a, kr, preferred_element_type=jnp.float32)
+    im = jnp.dot(a, ki, preferred_element_type=jnp.float32)
     return jnp.exp(jax.lax.complex(re, im))
 
 
@@ -174,8 +174,8 @@ def synthesize(f0: jnp.ndarray, sp: jnp.ndarray, ap: jnp.ndarray,
     # inverse (XLA's TPU irfft measured ~2x slower at this shape)
     kr, ki = _minphase_matrices(fft_size)
     la = jnp.concatenate([log_amp_p, log_amp_n], axis=0)
-    h_re = jnp.dot(la, jnp.asarray(kr), preferred_element_type=jnp.float32)
-    h_im = jnp.dot(la, jnp.asarray(ki), preferred_element_type=jnp.float32)
+    h_re = jnp.dot(la, kr, preferred_element_type=jnp.float32)
+    h_im = jnp.dot(la, ki, preferred_element_type=jnp.float32)
     mag = jnp.exp(h_re)
     hr = mag * jnp.cos(h_im)
     hi = mag * jnp.sin(h_im)

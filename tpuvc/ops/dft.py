@@ -10,8 +10,13 @@ matmul: ~4x fewer FLOPs than the padded FFT round trip, on the unit the
 hardware is best at (SURVEY.md SS2.3 N2/N3 hot loop; the same formulation
 already carried synthesis' minimum-phase stage, dsp/synthesis.py).
 
-All matrices are float32, built once per (shape) on the host and closed
-over as XLA constants.  Identities (pinned by tests/test_ops.py):
+All matrices are float32 and GENERATED ON DEVICE (iota + cos behind an
+optimization_barrier, which stops XLA from constant-folding them back
+into literals): embedding them as host constants put ~25 MB of dense
+payload into the lowered module, and this sandbox's remote-compile
+service charges minutes per megabyte of module.  Regenerating them per
+call costs ~7.5M transcendentals (<1 ms) — noise next to the matmuls
+they feed.  Identities (pinned by tests/test_ops.py):
 
   cos_fwd(x)         == rfft(concat([x, x[-2:0:-1]]), n=fft).real
   cos_inv(c)         == irfft(c, n=fft)[:half]            (c real)
@@ -21,45 +26,48 @@ over as XLA constants.  Identities (pinned by tests/test_ops.py):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=8)
-def _cos_fwd_mat(half: int) -> np.ndarray:
+def _outer_theta(rows: int, cols: int, scale: float) -> jnp.ndarray:
+    """scale * outer(arange(rows), arange(cols)) on device, wrapped in an
+    optimization_barrier so the trig matrices built from it stay runtime
+    computations instead of folding into multi-MB module literals."""
+    r = jnp.arange(rows, dtype=jnp.float32)
+    c = jnp.arange(cols, dtype=jnp.float32)
+    r = jax.lax.optimization_barrier(r)
+    return scale * jnp.outer(r, c)
+
+
+def _edge_weights(half: int) -> jnp.ndarray:
+    """[2, 1, ..., 1, 2] column weights of the even-extension transforms."""
+    w = jnp.full((half,), 2.0, jnp.float32)
+    return w.at[0].set(1.0).at[half - 1].set(1.0)
+
+
+def _cos_fwd_mat(half: int) -> jnp.ndarray:
     """[half, half] M with rfft(even_ext(x)).real == x @ M."""
     n = 2 * (half - 1)
-    k = np.arange(half)
-    w = np.full(half, 2.0)
-    w[0] = w[-1] = 1.0
-    return (w[:, None]
-            * np.cos(2.0 * np.pi * np.outer(k, k) / n)).astype(np.float32)
+    th = _outer_theta(half, half, 2.0 * np.pi / n)
+    return _edge_weights(half)[:, None] * jnp.cos(th)
 
 
-@functools.lru_cache(maxsize=8)
-def _cos_inv_mats(half: int) -> tuple[np.ndarray, np.ndarray]:
+def _cos_inv_mats(half: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """[half, half] (Mc, Ms) with irfft(a+ib, n)[ :half] == a@Mc + b@Ms."""
     n = 2 * (half - 1)
-    m = np.arange(half)
-    w = np.full(half, 2.0)
-    w[0] = w[-1] = 1.0
-    th = 2.0 * np.pi * np.outer(m, m) / n
-    mc = (w[:, None] * np.cos(th)) / n
-    ms = (-w[:, None] * np.sin(th)) / n
-    return mc.astype(np.float32), ms.astype(np.float32)
+    th = _outer_theta(half, half, 2.0 * np.pi / n)
+    w = _edge_weights(half)[:, None]
+    return (w * jnp.cos(th)) / n, (-w * jnp.sin(th)) / n
 
 
-@functools.lru_cache(maxsize=8)
 def _rdft_mats(support: int, fft_size: int, n_bins: int
-               ) -> tuple[np.ndarray, np.ndarray]:
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """[support, n_bins] (C, S): rfft(x, fft_size)[..., :n_bins] ==
     x @ C - i x @ S for real x of length ``support``."""
-    th = (2.0 * np.pi / fft_size) * np.outer(np.arange(support),
-                                             np.arange(n_bins))
-    return np.cos(th).astype(np.float32), np.sin(th).astype(np.float32)
+    th = _outer_theta(support, n_bins, 2.0 * np.pi / fft_size)
+    return jnp.cos(th), jnp.sin(th)
 
 
 def cos_fwd(x: jnp.ndarray) -> jnp.ndarray:
@@ -68,7 +76,7 @@ def cos_fwd(x: jnp.ndarray) -> jnp.ndarray:
     x: [..., half] (the first half of an even fft_size = 2(half-1)
     periodic sequence).  Returns the real rfft coefficients [..., half].
     """
-    m = jnp.asarray(_cos_fwd_mat(x.shape[-1]))
+    m = _cos_fwd_mat(x.shape[-1])
     return jnp.dot(x.astype(jnp.float32), m,
                    preferred_element_type=jnp.float32)
 
@@ -76,16 +84,16 @@ def cos_fwd(x: jnp.ndarray) -> jnp.ndarray:
 def cos_inv(c: jnp.ndarray) -> jnp.ndarray:
     """Inverse of cos_fwd for REAL coefficients: irfft(c)[..., :half]."""
     mc, _ = _cos_inv_mats(c.shape[-1])
-    return jnp.dot(c.astype(jnp.float32), jnp.asarray(mc),
+    return jnp.dot(c.astype(jnp.float32), mc,
                    preferred_element_type=jnp.float32)
 
 
 def cos_inv2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """irfft(a + i b, fft_size)[..., :half] for real a, b [..., half]."""
     mc, ms = _cos_inv_mats(a.shape[-1])
-    return (jnp.dot(a.astype(jnp.float32), jnp.asarray(mc),
+    return (jnp.dot(a.astype(jnp.float32), mc,
                     preferred_element_type=jnp.float32)
-            + jnp.dot(b.astype(jnp.float32), jnp.asarray(ms),
+            + jnp.dot(b.astype(jnp.float32), ms,
                       preferred_element_type=jnp.float32))
 
 
@@ -102,8 +110,8 @@ def rdft(x: jnp.ndarray, fft_size: int, n_bins: int | None = None
         n_bins = fft_size // 2 + 1
     c, s = _rdft_mats(x.shape[-1], fft_size, n_bins)
     x = x.astype(jnp.float32)
-    re = jnp.dot(x, jnp.asarray(c), preferred_element_type=jnp.float32)
-    im = -jnp.dot(x, jnp.asarray(s), preferred_element_type=jnp.float32)
+    re = jnp.dot(x, c, preferred_element_type=jnp.float32)
+    im = -jnp.dot(x, s, preferred_element_type=jnp.float32)
     return re, im
 
 
@@ -114,18 +122,12 @@ def rdft_power(x: jnp.ndarray, fft_size: int,
     return re * re + im * im
 
 
-@functools.lru_cache(maxsize=8)
-def _irdft_mats(fft_size: int) -> tuple[np.ndarray, np.ndarray]:
+def _irdft_mats(fft_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """[half, fft_size] (Mc, Ms): irfft(a+ib, fft_size) == a@Mc + b@Ms."""
     half = fft_size // 2 + 1
-    m = np.arange(half)
-    n = np.arange(fft_size)
-    w = np.full(half, 2.0)
-    w[0] = w[-1] = 1.0
-    th = 2.0 * np.pi * np.outer(m, n) / fft_size
-    mc = (w[:, None] * np.cos(th)) / fft_size
-    ms = (-w[:, None] * np.sin(th)) / fft_size
-    return mc.astype(np.float32), ms.astype(np.float32)
+    th = _outer_theta(half, fft_size, 2.0 * np.pi / fft_size)
+    w = _edge_weights(half)[:, None]
+    return (w * jnp.cos(th)) / fft_size, (-w * jnp.sin(th)) / fft_size
 
 
 def irdft(a: jnp.ndarray, b: jnp.ndarray, fft_size: int) -> jnp.ndarray:
@@ -136,7 +138,7 @@ def irdft(a: jnp.ndarray, b: jnp.ndarray, fft_size: int) -> jnp.ndarray:
     synthesis response shape (scripts/bench_stages.py micro).
     """
     mc, ms = _irdft_mats(fft_size)
-    return (jnp.dot(a.astype(jnp.float32), jnp.asarray(mc),
+    return (jnp.dot(a.astype(jnp.float32), mc,
                     preferred_element_type=jnp.float32)
-            + jnp.dot(b.astype(jnp.float32), jnp.asarray(ms),
+            + jnp.dot(b.astype(jnp.float32), ms,
                       preferred_element_type=jnp.float32))
