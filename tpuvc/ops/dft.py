@@ -32,12 +32,16 @@ import numpy as np
 
 
 def _outer_theta(rows: int, cols: int, scale: float) -> jnp.ndarray:
-    """scale * outer(arange(rows), arange(cols)) on device, wrapped in an
-    optimization_barrier so the trig matrices built from it stay runtime
-    computations instead of folding into multi-MB module literals."""
+    """scale * outer(arange(rows), arange(cols)) on device.
+
+    Left foldable on purpose: if XLA constant-folds the trig matrices it
+    does so COMPILER-side (the uploaded module stays small — the literals
+    only ever existed in the compiled executable); if it declines (size
+    limits), identical subgraphs CSE so each matrix is generated once per
+    call.  An optimization_barrier here was measured to block both,
+    costing ~9 ms/call of duplicate per-consumer regeneration."""
     r = jnp.arange(rows, dtype=jnp.float32)
     c = jnp.arange(cols, dtype=jnp.float32)
-    r = jax.lax.optimization_barrier(r)
     return scale * jnp.outer(r, c)
 
 
