@@ -62,6 +62,158 @@ def test_fft_smoothing_matches_box_average():
         assert err_db.max() < 0.1, f"row {r}: max {err_db.max():.3f} dB"
 
 
+def test_dft_identities():
+    """Each ops/dft.py primitive == the jnp.fft identity its docstring
+    claims, on random inputs at the shapes the frontend uses."""
+    import jax.numpy as jnp
+
+    from tpuvc.ops.dft import (cos_fwd, cos_inv, cos_inv2, irdft, rdft,
+                               rdft_power)
+
+    rng = np.random.default_rng(7)
+    for fft_size in (256, 1024):
+        half = fft_size // 2 + 1
+        x = jnp.asarray(rng.standard_normal((5, half)), jnp.float32)
+        ext = jnp.concatenate([x, x[:, -2:0:-1]], axis=-1)
+        want_fwd = np.fft.rfft(np.asarray(ext), n=fft_size).real
+        # float32 matmul accumulation over fft_size terms: ~5e-3 absolute
+        # at unit-variance inputs (measured); a precision regression (e.g.
+        # losing the float64->float32 theta bound) is orders above this
+        np.testing.assert_allclose(np.asarray(cos_fwd(x)), want_fwd,
+                                   rtol=1e-3, atol=2e-2)
+
+        c = jnp.asarray(rng.standard_normal((5, half)), jnp.float32)
+        want_inv = np.fft.irfft(np.asarray(c), n=fft_size)[:, :half]
+        np.testing.assert_allclose(np.asarray(cos_inv(c)), want_inv,
+                                   rtol=2e-4, atol=1e-5)
+
+        b = jnp.asarray(rng.standard_normal((5, half)), jnp.float32)
+        want_inv2 = np.fft.irfft(np.asarray(c) + 1j * np.asarray(b),
+                                 n=fft_size)[:, :half]
+        np.testing.assert_allclose(np.asarray(cos_inv2(c, b)), want_inv2,
+                                   rtol=2e-4, atol=1e-5)
+
+        want_full = np.fft.irfft(np.asarray(c) + 1j * np.asarray(b),
+                                 n=fft_size)
+        np.testing.assert_allclose(np.asarray(irdft(c, b, fft_size)),
+                                   want_full, rtol=2e-4, atol=1e-5)
+
+        # support <= fft_size (the rdft contract: shorter support is free
+        # zero-padding); n_bins truncation exercised too
+        for support, n_bins in [(fft_size, None), (fft_size * 2 // 3, half),
+                                (fft_size // 2 + 9, 97)]:
+            y = jnp.asarray(rng.standard_normal((5, support)), jnp.float32)
+            want = np.fft.rfft(np.asarray(y), n=fft_size)
+            nb = half if n_bins is None else n_bins
+            re, im = rdft(y, fft_size, n_bins)
+            np.testing.assert_allclose(np.asarray(re), want.real[:, :nb],
+                                       rtol=1e-3, atol=2e-2)
+            np.testing.assert_allclose(np.asarray(im), want.imag[:, :nb],
+                                       rtol=1e-3, atol=2e-2)
+            np.testing.assert_allclose(
+                np.asarray(rdft_power(y, fft_size, n_bins)),
+                np.abs(want[:, :nb]) ** 2, rtol=2e-3, atol=1.0)
+
+
+def test_rdft_ct_identity_and_accuracy():
+    """Two-stage Cooley-Tukey matmul DFT == rfft, at FFT-class accuracy
+    (>= 5x lower error than the direct depth-n matmul on random input)."""
+    import jax.numpy as jnp
+
+    from tpuvc.ops.dft import rdft, rdft_ct
+
+    rng = np.random.default_rng(11)
+    for fft_size, support, n_bins in [(1024, 1024, 513), (1024, 385, 512),
+                                      (256, 256, 129), (512, 300, 100)]:
+        x = rng.standard_normal((6, support))
+        want = np.fft.rfft(x, n=fft_size)[:, :n_bins]
+        re, im = rdft_ct(jnp.asarray(x, jnp.float32), fft_size, n_bins)
+        got = np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64)
+        err_ct = np.abs(got - want).max()
+        assert err_ct < 2e-3, f"{fft_size},{support}: {err_ct}"
+        if support == fft_size:
+            re2, im2 = rdft(jnp.asarray(x, jnp.float32), fft_size, n_bins)
+            got2 = np.asarray(re2, np.float64) + 1j * np.asarray(im2,
+                                                                 np.float64)
+            err_mm = np.abs(got2 - want).max()
+            assert err_ct < err_mm / 5.0, (
+                f"{fft_size}: ct {err_ct:.2e} vs direct {err_mm:.2e}")
+
+
+def test_dft_float64_precision():
+    """Bound the float32-theta phase error of the on-device generated
+    matrices against float64 references (ADVICE r2: theta reaches ~3e3 rad
+    at the largest shapes; the drift was previously absorbed into
+    regenerated goldens without an explicit bound)."""
+    from tpuvc.ops.dft import _cos_fwd_mat, _irdft_mats, _rdft_mats
+
+    fft_size = 1024
+    half = fft_size // 2 + 1
+    m64 = np.arange(half, dtype=np.float64)
+    th64 = 2.0 * np.pi / fft_size * np.outer(m64, m64)
+    w64 = np.full(half, 2.0); w64[0] = w64[-1] = 1.0
+
+    got = np.asarray(_cos_fwd_mat(half), np.float64)
+    want = w64[:, None] * np.cos(th64)
+    # |d cos| <= |d theta| ~ 1e-4 rad at theta_max ~ 3.2e3 (x2 edge weight)
+    assert np.abs(got - want).max() < 5e-4
+
+    c, s = _rdft_mats(fft_size, fft_size, half)
+    thr = 2.0 * np.pi / fft_size * np.outer(
+        np.arange(fft_size, dtype=np.float64), m64)
+    assert np.abs(np.asarray(c, np.float64) - np.cos(thr)).max() < 5e-4
+    assert np.abs(np.asarray(s, np.float64) - np.sin(thr)).max() < 5e-4
+
+    mc, ms = _irdft_mats(fft_size)
+    thi = 2.0 * np.pi / fft_size * np.outer(
+        m64, np.arange(fft_size, dtype=np.float64))
+    assert np.abs(np.asarray(mc, np.float64) * fft_size
+                  - w64[:, None] * np.cos(thi)).max() < 5e-4
+    assert np.abs(np.asarray(ms, np.float64) * fft_size
+                  + w64[:, None] * np.sin(thi)).max() < 5e-4
+
+
+def test_smoothing_width_cap():
+    """Widths above the static K bound must not deflate the spectrum
+    (ADVICE r2 medium: width 960 on a constant spectrum returned 0.895).
+    D4C's call site can produce widths up to max_refined_f0() = 1056 Hz."""
+    import jax.numpy as jnp
+
+    from tests.oracle.common import linear_smoothing as oracle_smooth
+    from tpuvc.dsp.constants import max_refined_f0
+    from tpuvc.dsp.spectral import linear_smoothing
+    from tpuvc.ops.pallas_smooth import box_smooth_pallas
+
+    assert max_refined_f0() == 800.0 * 1.2 * 1.1
+    fs, fft_size = 16000, 1024
+    half = fft_size // 2 + 1
+    ones = jnp.ones((3, half), jnp.float32)
+    width = jnp.asarray([860.0, 960.0, 1056.0], jnp.float32)
+
+    # default cap: clamps (slightly narrower box), never deflates
+    out = np.asarray(linear_smoothing(ones, width, fs, fft_size,
+                                      floor_rel=None))
+    np.testing.assert_allclose(out, 1.0, rtol=1e-5)
+    out = np.asarray(box_smooth_pallas(ones, width, fs, fft_size, 810.0,
+                                       interpret=True))
+    np.testing.assert_allclose(out, 1.0, rtol=1e-5)
+
+    # D4C's cap: true width used, matches the float64 oracle on a real
+    # spectrum at width 960/1056
+    rng = np.random.default_rng(5)
+    ps = jnp.asarray(10.0 ** rng.uniform(-6, 0, (3, half)), jnp.float32)
+    cap = float(max_refined_f0())
+    got = np.asarray(linear_smoothing(ps, width, fs, fft_size,
+                                      floor_rel=None, max_width_hz=cap))
+    for r in range(3):
+        o = oracle_smooth(np.asarray(ps[r], np.float64), float(width[r]),
+                          fs, fft_size)
+        np.testing.assert_allclose(got[r], o, rtol=1e-4, atol=1e-10)
+    got_pl = np.asarray(box_smooth_pallas(ps, width, fs, fft_size, cap,
+                                          interpret=True))
+    np.testing.assert_allclose(got_pl, got, rtol=1e-5, atol=1e-12)
+
+
 def test_mcd_properties():
     from tpuvc.utils.metrics import mcd
     rng = np.random.default_rng(0)

@@ -92,6 +92,18 @@ STONEMASK_FFT_SIZE = 1024       # covers 3 periods at f0_floor=71, fs=16k
 #   (679 samples); WORLD pads more for interpolation resolution, but the
 #   IF-weighted refinement is accuracy-equivalent at 1024 (tests/test_f0)
 
+def max_refined_f0(f0_ceil: float = F0_CEIL) -> float:
+    """Largest f0 any estimator can hand downstream stages.
+
+    StoneMask accepts refinements up to (1 + STONEMASK_RELATIVE_LIMIT) *
+    f0_ceil; Harvest widens the search ceiling by HARVEST_CEIL_ADJUST and
+    then allows the same +-20% IF refinement.  1056 Hz at the default
+    ceiling — call sites that size width-bounded operators (e.g. D4C's
+    f0-wide box smoothing, dsp/d4c.py) must use THIS, not f0_ceil.
+    """
+    return f0_ceil * (1.0 + STONEMASK_RELATIVE_LIMIT) * HARVEST_CEIL_ADJUST
+
+
 # --- CheapTrick (spectral envelope) ---
 CHEAPTRICK_Q1 = -0.15           # liftering compensation coefficient
 CHEAPTRICK_DEFAULT_F0 = 500.0   # envelope f0 used for unvoiced frames

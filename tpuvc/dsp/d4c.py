@@ -49,10 +49,10 @@ from tpuvc.dsp.constants import (D4C_CEIL_DB, D4C_FLOOR_DB,
                                  D4C_FREQUENCY_INTERVAL, D4C_THRESHOLD,
                                  D4C_UNVOICED_PLACEHOLDER_F0,
                                  DEFAULT_WORLD, WorldConfig, d4c_fft_size,
-                                 d4c_num_bands)
+                                 d4c_num_bands, max_refined_f0)
 from tpuvc.dsp.interp import interp_uniform
 from tpuvc.dsp.spectral import dc_correction, linear_smoothing
-from tpuvc.ops.dft import rdft, rdft_power
+from tpuvc.ops.dft import rdft_ct, rdft_power
 from tpuvc.ops.framing import frame_signal
 
 
@@ -208,9 +208,12 @@ def _group_delay_coarse(x: jnp.ndarray, f0: jnp.ndarray, hop: int, fs: int,
     const2 = (hl4 - shift2[:, None]).astype(jnp.float32)
     stacked = jnp.concatenate([wave_lt, wave_c1, wave_c1 * b,
                                wave_c2, wave_c2 * b, wave_p], axis=0)
-    # the six forward transforms as ONE batched MXU matmul DFT (ops/dft.py;
-    # measured faster than XLA's TPU FFT at this shape)
-    re, im = rdft(stacked, d)
+    # the six forward transforms as ONE batched two-stage Cooley-Tukey
+    # matmul DFT (ops/dft.py rdft_ct): FFT-class accumulation accuracy —
+    # the direct depth-1024 matmul floored quiet bands ~1-1.6 dB high in
+    # the band statistic (the round-2 "float32 saturation") — at ~3.5x
+    # fewer FLOPs than the direct matmul
+    re, im = rdft_ct(stacked, d)
     (lt_re, x1_re, y1b_re, x2_re, y2b_re, p_re) = (
         re[i * n:(i + 1) * n] for i in range(6))
     (lt_im, x1_im, y1b_im, x2_im, y2b_im, p_im) = (
@@ -228,17 +231,22 @@ def _group_delay_coarse(x: jnp.ndarray, f0: jnp.ndarray, hop: int, fs: int,
     both = dc_correction(jnp.concatenate([ps, cent], axis=0),
                          jnp.concatenate([f0, f0]), fs, d)
     ps, cent = both[:n], both[n:]
-    ps = linear_smoothing(ps, f0, fs, d)
+    # width = f0 can reach max_refined_f0() (1056 Hz: StoneMask's +20%
+    # over f0_ceil, Harvest's 1.1x ceiling on top) — the default 810 Hz
+    # cap would truncate the box and deflate the smoothed power
+    ps = linear_smoothing(ps, f0, fs, d, max_width_hz=max_refined_f0())
 
-    # NOTE on float32: in sub-bands whose power is < ~-50 dB of the frame
-    # peak, ps is float32 rounding residue and cent/ps contributes spread
-    # noise that saturates the band statistic around -4..-6 dB (true values
-    # below that read high).  A relative division floor (1e-5 of peak)
-    # fixes the saturation and matches a float64 run of this pipeline
-    # exactly, but deviates up to ~1 dB mean from WORLD's unfloored
-    # statistic on ordinary signals — parity wins, so the floor is NOT
-    # applied (measured in tests/test_oracle_parity.py::test_d4c_parity;
-    # saturation case documented in tests/test_d4c.py).
+    # NOTE on float32 (round-3 resolution of the round-2 "saturation"):
+    # the discrimination loss in quiet-but-periodic bands was traced to
+    # the DIRECT matmul DFT's depth-1024 float32 accumulation alone — a
+    # stage-by-stage float64 hybrid showed every other stage (windowing,
+    # dc correction, smoothing, this division, the band statistic)
+    # precision-neutral, and even a float32 FFT restored full float64
+    # agreement.  The two-stage Cooley-Tukey transform above (rdft_ct)
+    # gives FFT-class accumulation, so no division floor is needed and
+    # WORLD's unfloored statistic is kept (pinned by tests/test_d4c.py::
+    # test_partially_dead_band_discrimination: <=0.15 dB vs float64 on
+    # steep-rolloff fixtures where the direct matmul was 0.9-1.6 dB off).
     sgd = cent / jnp.maximum(ps, 1e-30)
     sgd = sgd - linear_smoothing(sgd, f0 / 2.0, fs, d, floor_rel=None)
 

@@ -70,8 +70,16 @@ def linear_smoothing(ps: jnp.ndarray, width: jnp.ndarray, fs: int,
 
     ``floor_rel`` floors non-negative inputs at that fraction of the frame
     peak; pass ``floor_rel=None`` for signed inputs (D4C's group delay).
+
+    ``max_width_hz`` must be >= the largest width the call site can
+    produce (constants.max_refined_f0 bounds every f0-derived width);
+    widths are CLAMPED to it so an underestimate degrades to
+    slightly-narrower smoothing instead of silently deflating the
+    spectrum (truncated weights no longer summing to 1 — the failure
+    the clamp guards against; tests/test_ops.py::test_smoothing_width_cap).
     """
     from tpuvc.ops import pallas_smooth
+    width = jnp.minimum(width, jnp.asarray(max_width_hz, width.dtype))
     if pallas_smooth.use_pallas():
         # one-pass VMEM kernel: the unrolled XLA sum below is numerically
         # identical but materializes every shifted multiply in HBM

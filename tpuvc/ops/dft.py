@@ -10,13 +10,19 @@ matmul: ~4x fewer FLOPs than the padded FFT round trip, on the unit the
 hardware is best at (SURVEY.md SS2.3 N2/N3 hot loop; the same formulation
 already carried synthesis' minimum-phase stage, dsp/synthesis.py).
 
-All matrices are float32 and GENERATED ON DEVICE (iota + cos behind an
-optimization_barrier, which stops XLA from constant-folding them back
-into literals): embedding them as host constants put ~25 MB of dense
-payload into the lowered module, and this sandbox's remote-compile
-service charges minutes per megabyte of module.  Regenerating them per
-call costs ~7.5M transcendentals (<1 ms) — noise next to the matmuls
-they feed.  Identities (pinned by tests/test_ops.py):
+All matrices are float32 and GENERATED ON DEVICE (iota + cos, left
+deliberately foldable — see _outer_theta): embedding them as host
+constants put ~25 MB of dense payload into the lowered module, and this
+sandbox's remote-compile service charges minutes per megabyte of module.
+If XLA constant-folds them it does so compiler-side (the uploaded module
+stays small); if not, CSE generates each once per call for ~7.5M
+transcendentals (<1 ms) — noise next to the matmuls they feed.  A
+barrier here was measured to block BOTH folding and CSE (~9 ms/call of
+per-consumer regeneration; commit 17cf333).  Float32 theta reaches ~3e3
+rad at the largest shapes (~1e-4 rad entry phase error vs float64
+matrices); the resulting transform error is bounded by
+tests/test_ops.py::test_dft_float64_precision.  Identities (pinned
+directly by tests/test_ops.py::test_dft_identities):
 
   cos_fwd(x)         == rfft(concat([x, x[-2:0:-1]]), n=fft).real
   cos_inv(c)         == irfft(c, n=fft)[:half]            (c real)
@@ -124,6 +130,76 @@ def rdft_power(x: jnp.ndarray, fft_size: int,
     """|rfft(x, fft_size)|^2 via rdft (two matmuls + elementwise)."""
     re, im = rdft(x, fft_size, n_bins)
     return re * re + im * im
+
+
+def rdft_ct(x: jnp.ndarray, fft_size: int, n_bins: int | None = None
+            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """rfft(x, fft_size) as a TWO-STAGE Cooley-Tukey factorization of
+    matmuls — FFT-class accumulation accuracy on the MXU.
+
+    The direct rdft matmul accumulates each bin over all fft_size samples
+    in one float32 chain; on spectra with >60 dB dynamic range the
+    accumulated rounding noise floors quiet bins ~10x higher than an FFT
+    would (the D4C group-delay statistic lost ~1-1.6 dB of aperiodicity
+    discrimination in partially-dead bands vs a float64 run — the
+    round-2 "float32 saturation" note in dsp/d4c.py).  Factoring
+    fft_size = n1*n2 (32*32 at 1024) caps every reduction at depth
+    n1/n2: measured on the steep-rolloff fixtures, the full D4C pipeline
+    with this transform matches float64 to 0.01 dB where the direct
+    matmul was off by up to 1.6 dB (tests/test_d4c.py::
+    test_partially_dead_band_discrimination), and it is ~3.5x fewer
+    FLOPs than the direct [support, half] matmul.
+
+    With m = m2 + n2*m1 and k = k1 + n1*k2:
+      A[k1, m2] = sum_m1 x[m1, m2] W_{n1}^{k1 m1}      (depth-n1 matmul)
+      B = A * W_{fft}^{k1 m2}                            (twiddle)
+      X[k1, k2] = sum_m2 B[k1, m2] W_{n2}^{k2 m2}      (depth-n2 matmul)
+
+    x: [..., support] real, support <= fft_size (zero-padded).  Returns
+    (re, im) [..., n_bins].  fft_size must be a power of two.
+    """
+    half = fft_size // 2 + 1
+    if n_bins is None:
+        n_bins = half
+    log2n = fft_size.bit_length() - 1
+    assert 1 << log2n == fft_size, "rdft_ct requires a power-of-two size"
+    n1 = 1 << ((log2n + 1) // 2)
+    n2 = fft_size // n1
+    lead = x.shape[:-1]
+    support = x.shape[-1]
+    x = x.reshape(-1, support).astype(jnp.float32)
+    if support < fft_size:
+        x = jnp.pad(x, ((0, 0), (0, fft_size - support)))
+    r = x.shape[0]
+    x = x.reshape(r, n1, n2)
+
+    th1 = _outer_theta(n1, n1, 2.0 * np.pi / n1)
+    w1c, w1s = jnp.cos(th1), jnp.sin(th1)
+    ar = jnp.einsum("rmn,mk->rkn", x, w1c,
+                    preferred_element_type=jnp.float32)
+    ai = -jnp.einsum("rmn,mk->rkn", x, w1s,
+                     preferred_element_type=jnp.float32)
+
+    tht = _outer_theta(n1, n2, 2.0 * np.pi / fft_size)
+    tc, ts = jnp.cos(tht), jnp.sin(tht)
+    br = ar * tc + ai * ts
+    bi = ai * tc - ar * ts
+
+    k2n = min((n_bins + n1 - 1) // n1 + 1, n2)
+    th2 = _outer_theta(n2, k2n, 2.0 * np.pi / n2)
+    w2c, w2s = jnp.cos(th2), jnp.sin(th2)
+    re = (jnp.einsum("rkn,nj->rkj", br, w2c,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("rkn,nj->rkj", bi, w2s,
+                       preferred_element_type=jnp.float32))
+    im = (jnp.einsum("rkn,nj->rkj", bi, w2c,
+                     preferred_element_type=jnp.float32)
+          - jnp.einsum("rkn,nj->rkj", br, w2s,
+                       preferred_element_type=jnp.float32))
+    # [r, k1, k2] -> k = k1 + n1*k2
+    re = re.transpose(0, 2, 1).reshape(r, k2n * n1)[:, :n_bins]
+    im = im.transpose(0, 2, 1).reshape(r, k2n * n1)[:, :n_bins]
+    return re.reshape(*lead, n_bins), im.reshape(*lead, n_bins)
 
 
 def _irdft_mats(fft_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:

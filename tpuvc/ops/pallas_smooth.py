@@ -65,6 +65,9 @@ def box_smooth_pallas(ps: jnp.ndarray, width: jnp.ndarray, fs: int,
     half = fft_size // 2 + 1
     df = fs / fft_size
     k = int(max_width_hz / (2.0 * df)) + 2
+    # K covers widths up to max_width_hz only; clamp so wider widths
+    # degrade to max-width smoothing, never a deflated partial sum
+    width = jnp.minimum(width, jnp.asarray(max_width_hz, width.dtype))
     ps = ps.astype(jnp.float32)
     ext = jnp.concatenate([ps[..., k:0:-1], ps, ps[..., -2:-2 - k:-1]],
                           axis=-1)
