@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> str:
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the run into the "
                         "run dir (TensorBoard profile plugin)")
+    p.add_argument("--resident", type=int, default=0, metavar="N",
+                   help="device-resident fast path: upload the frame table "
+                        "to HBM once and run N optimizer steps per "
+                        "dispatch (on-device uniform minibatch sampling; "
+                        "removes the per-step host round trip that bounds "
+                        "this sandbox's tunnel at ~3 steps/s).  0 = the "
+                        "epoch-exact streaming trainer (default)")
     add_platform_flag(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -84,8 +91,14 @@ def main(argv: list[str] | None = None) -> str:
           f"frames={len(ds)} steps={steps}")
     from tpuvc.utils.profiling import trace
     with trace(os.path.join(run_dir, "profile") if args.profile else None):
-        metrics = trainer.train(
-            ds.batches(t.batch_size, seed=args.seed, normalizer=norm), steps)
+        if args.resident:
+            data = norm.forward(ds.x) if norm is not None else ds.x
+            metrics = trainer.train_resident(data, ds.y, steps,
+                                             n_inner=args.resident)
+        else:
+            metrics = trainer.train(
+                ds.batches(t.batch_size, seed=args.seed, normalizer=norm),
+                steps)
     trainer.close()
     print(f"[train] final metrics: "
           f"{ {k: round(v, 4) for k, v in metrics.items()} }")

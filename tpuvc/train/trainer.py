@@ -86,6 +86,41 @@ class _BaseTrainer:
         self.ckpt.wait()
         self.writer.close()
 
+    def _make_multistep(self, n_inner: int):
+        raise NotImplementedError
+
+    def train_resident(self, data: np.ndarray, labels: np.ndarray,
+                       total_steps: int, n_inner: int = 50,
+                       log_every: int | None = None,
+                       save_every: int | None = None) -> dict[str, float]:
+        """Device-resident fast path: upload the frame table once, run
+        n_inner optimizer steps per dispatch (train/steps.py
+        make_*_multistep).  Removes the per-step host round trip that
+        bounds the per-step trainer at ~3 steps/s over this sandbox's
+        tunnel; minibatches are uniform-with-replacement samples drawn on
+        device.  Checkpoints/metrics land on dispatch boundaries."""
+        t = self.arch.training
+        log_every = max(1, (log_every or t.summary_freq) // n_inner)
+        save_every = max(1, (save_every or t.save_freq) // n_inner)
+        start = self._resume()
+        multi = self._make_multistep(n_inner)
+        data_d = jax.device_put(np.ascontiguousarray(data, np.float32),
+                                mesh_lib.replicated(self.mesh))
+        labels_d = jax.device_put(np.ascontiguousarray(labels, np.int32),
+                                  mesh_lib.replicated(self.mesh))
+        metrics = {}
+        n_disp = max(1, -(-(total_steps - start) // n_inner))
+        for d in range(n_disp):
+            self.state, m = multi(self.state, data_d, labels_d, self.rng)
+            step = start + (d + 1) * n_inner
+            if (d + 1) % log_every == 0 or d + 1 == n_disp:
+                metrics = {k: float(v) for k, v in m.items()}
+                self.writer.scalars(step, metrics)
+            if (d + 1) % save_every == 0 or d + 1 == n_disp:
+                self.ckpt.save(step, jax.device_get(self.state))
+        self.ckpt.wait()
+        return metrics
+
 
 class VAETrainer(_BaseTrainer):
     """Plain conditional-VAE training (reference VAETrainer)."""
@@ -95,6 +130,9 @@ class VAETrainer(_BaseTrainer):
         self.model = CVAE(arch=arch)
         self.state = steps_lib.init_vae_state(self.model, arch, self.rng)
         self.step_fn = steps_lib.make_vae_step(self.model, arch)
+
+    def _make_multistep(self, n_inner: int):
+        return steps_lib.make_vae_multistep(self.model, self.arch, n_inner)
 
     def train(self, batches: Iterator[tuple[np.ndarray, np.ndarray]],
               total_steps: int, log_every: int | None = None,
@@ -127,6 +165,10 @@ class VAWGANTrainer(_BaseTrainer):
         self.model = VAWGAN(arch=arch)
         self.state = steps_lib.init_vawgan_state(self.model, arch, self.rng)
         self.step_fn = steps_lib.make_vawgan_step(self.model, arch)
+
+    def _make_multistep(self, n_inner: int):
+        return steps_lib.make_vawgan_multistep(self.model, self.arch,
+                                               n_inner)
 
     def train(self, batches: Iterator[tuple[np.ndarray, np.ndarray]],
               total_steps: int, log_every: int | None = None,
