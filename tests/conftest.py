@@ -48,3 +48,58 @@ def make_harmonic(f0_hz, fs=16000, dur_s=0.5, n_harm=8, noise=0.0, seed=0):
 @pytest.fixture
 def harmonic_signal():
     return make_harmonic
+
+
+def make_speech_like(kind, fs=16000, dur_s=1.0, seed=0):
+    """Speech-shaped test signals with a known f0 trajectory (VERDICT r2
+    item 2: the stationary-tone fixtures could not catch transition or
+    sweep regressions).
+
+    Returns (x, f0_true, voiced): f0_true/voiced on the 1 ms grid used to
+    synthesize (f0_true[i] = instantaneous f0 at sample i*fs//1000; 0
+    where unvoiced).  Kinds:
+      sweep       +-1 octave glide 140 -> 280 -> 140 Hz
+      vibrato     190 Hz with 5.5 Hz +-3% vibrato
+      transitions voiced 0-0.3 s / unvoiced 0.3-0.55 s / voiced 0.55-end
+      low_f0      80 Hz (near the 71 Hz floor)
+      breathy     170 Hz harmonics under strong broadband noise
+    """
+    g = np.random.default_rng(seed)
+    n = int(fs * dur_s)
+    t = np.arange(n) / fs
+    if kind == "sweep":
+        f0_t = 140.0 * 2.0 ** np.sin(np.pi * t / dur_s)
+        voiced = np.ones(n, bool)
+        noise = 0.002
+    elif kind == "vibrato":
+        f0_t = 190.0 * (1.0 + 0.03 * np.sin(2 * np.pi * 5.5 * t))
+        voiced = np.ones(n, bool)
+        noise = 0.002
+    elif kind == "transitions":
+        f0_t = 150.0 + 30.0 * np.sin(2 * np.pi * 0.8 * t)
+        voiced = ~((t >= 0.3) & (t < 0.55))
+        noise = 0.003
+    elif kind == "low_f0":
+        f0_t = np.full(n, 80.0)
+        voiced = np.ones(n, bool)
+        noise = 0.002
+    elif kind == "breathy":
+        f0_t = np.full(n, 170.0)
+        voiced = np.ones(n, bool)
+        noise = 0.06
+    else:
+        raise ValueError(kind)
+    phase = 2.0 * np.pi * np.cumsum(f0_t) / fs
+    x = np.zeros(n)
+    for h in range(1, 11):
+        amp = 0.6 / h
+        xh = amp * np.sin(h * phase + 0.1 * h)
+        x += np.where(h * f0_t < 0.45 * fs, xh, 0.0)
+    # fade voiced region edges over 10 ms to avoid clicks at transitions
+    env = voiced.astype(np.float64)
+    k = int(0.010 * fs)
+    env = np.convolve(env, np.ones(k) / k, mode="same")
+    x = x * env + noise * g.standard_normal(n)
+    x = 0.5 * x / np.max(np.abs(x))
+    step = fs // 1000
+    return x, np.where(voiced, f0_t, 0.0)[::step], voiced[::step]

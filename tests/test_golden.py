@@ -3,9 +3,14 @@
 Committed fixtures pin the analysis/synthesis behavior so optimization
 rounds can't silently change numerics.  Regenerate with
 ``python tests/make_goldens.py`` ONLY after an intended behavior change.
-(The reference's pyworld is not installable in this environment, so the
-goldens are self-referential regression anchors, not cross-implementation
-parity fixtures — see SURVEY.md provenance note.)
+
+PARITY AUTHORITY: the float64 oracle suite (tests/test_oracle_parity.py
+and tests/test_oracle_parity_speech.py) is the cross-implementation
+correctness anchor; these goldens are tighter-tolerance SELF-referential
+anchors that catch unintended numeric drift the oracle's tolerances
+would absorb.  To keep the two from drifting apart semantically,
+make_goldens.py refuses to write goldens from a device state that
+disagrees with the oracle (its _gate_on_oracle check).
 """
 
 import os

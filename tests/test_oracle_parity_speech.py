@@ -1,0 +1,148 @@
+"""Oracle parity on SPEECH-SHAPED signals — no boundary-frame slicing.
+
+VERDICT r2 items 2/weak-1: the stationary-tone fixtures in
+test_oracle_parity.py could not catch regressions in f0 sweeps, vibrato,
+voiced<->unvoiced transitions, near-floor f0, or breathy frames — and they
+sliced out edge frames, excluding the classic DIO/Harvest failure mode.
+This suite runs device-vs-float64-oracle parity on five speech-shaped
+classes (tests/conftest.py make_speech_like) over EVERY frame.
+
+Measured round-3 deviations the tolerances pin (2-4x margin; per-class
+table in docs/STATUS.md):
+
+  class        DIO agree  f0 rel mean  CT dom mean/p99 dB  D4C mean/p95 dB
+  sweep          1.000      0.00030       0.008 / 0.016      0.012 / 0.039
+  vibrato        1.000      0.00011       0.011 / 0.065      0.026 / 0.050
+  transitions    0.980      0.00040       0.007 / 0.023      0.015 / 0.049
+  low_f0         1.000      0.00031       0.019 / 0.261      0.022 / 0.067
+  breathy        1.000      0.00027       0.013 / 0.109      0.016 / 0.041
+
+(the only sub-1.0 voicing agreement is at transition boundaries — +-1-2
+frame disagreement about exactly where voicing starts, the behavior this
+suite exists to keep bounded).
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_speech_like
+from tests.oracle import (oracle_cheaptrick, oracle_d4c, oracle_dio,
+                          oracle_stonemask)
+
+FS = 16000
+KINDS = ["sweep", "vibrato", "transitions", "low_f0", "breathy"]
+
+
+@pytest.fixture(scope="module", params=KINDS)
+def speech_case(request):
+    kind = request.param
+    x, f0_true, voiced = make_speech_like(kind)
+    return kind, x, f0_true[::5], voiced[::5]   # truth on the 5 ms grid
+
+
+@pytest.fixture(scope="module")
+def speech_oracle_f0(speech_case):
+    _, x, _, _ = speech_case
+    raw = oracle_dio(x, FS)
+    return raw, oracle_stonemask(x, raw, FS)
+
+
+def test_dio_parity_speech(speech_case, speech_oracle_f0):
+    from tpuvc.dsp.dio import dio
+    kind, x, f0_true, _ = speech_case
+    of0, _ = speech_oracle_f0
+    jf0 = np.asarray(dio(np.asarray(x, np.float32)))
+    n = min(len(of0), len(jf0), len(f0_true))
+    of0, jf0, f0t = of0[:n], jf0[:n], f0_true[:n]
+    vo, vj = of0 > 0, jf0 > 0
+    # ALL frames counted — transition-boundary disagreements included
+    assert (vo == vj).mean() >= 0.96, (
+        f"{kind}: voicing agreement {(vo == vj).mean():.3f}")
+    both = vo & vj
+    assert both.sum() > 0.3 * n
+    rel = np.abs(jf0[both] - of0[both]) / of0[both]
+    assert rel.mean() < 0.002, f"{kind}: rel mean {rel.mean():.5f}"
+    # and the device tracks the TRUE trajectory (sweeps/vibrato move)
+    tv = both & (f0t > 0)
+    err = np.abs(jf0[tv] - f0t[tv]) / f0t[tv]
+    assert np.median(err) < 0.005, f"{kind}: truth err {np.median(err):.5f}"
+
+
+def test_stonemask_parity_speech(speech_case, speech_oracle_f0):
+    from tpuvc.dsp.dio import dio
+    from tpuvc.dsp.stonemask import stonemask
+    kind, x, _, _ = speech_case
+    _, osm = speech_oracle_f0
+    x32 = np.asarray(x, np.float32)
+    jsm = np.asarray(stonemask(x32, dio(x32)))
+    n = min(len(osm), len(jsm))
+    osm, jsm = osm[:n], jsm[:n]
+    both = (osm > 0) & (jsm > 0)
+    rel = np.abs(jsm[both] - osm[both]) / osm[both]
+    # isolated boundary frames can refine differently (measured max up to
+    # 0.21 at transitions); the bulk must agree tightly
+    assert rel.mean() < 0.005, f"{kind}: mean {rel.mean():.5f}"
+    assert np.median(rel) < 0.002, f"{kind}: median {np.median(rel):.5f}"
+
+
+def test_cheaptrick_parity_speech(speech_case, speech_oracle_f0):
+    from tpuvc.dsp.cheaptrick import cheaptrick
+    kind, x, _, _ = speech_case
+    _, osm = speech_oracle_f0
+    sp_o = oracle_cheaptrick(x, osm, FS)
+    sp_j = np.asarray(cheaptrick(np.asarray(x, np.float32),
+                                 osm.astype(np.float32)), np.float64)
+    n = min(len(sp_o), len(sp_j))
+    no = sp_o[:n] / sp_o[:n].sum(1, keepdims=True)
+    nj = sp_j[:n] / sp_j[:n].sum(1, keepdims=True)
+    li = 10 * np.log10(no + 1e-30)
+    lj = 10 * np.log10(nj + 1e-30)
+    d = np.abs(li - lj)
+    dominant = (li - li.max(axis=1, keepdims=True)) > -20.0
+    assert d[dominant].mean() < 0.08, (
+        f"{kind}: dominant mean {d[dominant].mean():.4f} dB")
+    assert np.percentile(d[dominant], 99) < 0.6, (
+        f"{kind}: dominant p99 {np.percentile(d[dominant], 99):.3f} dB")
+
+
+def test_d4c_parity_speech(speech_case, speech_oracle_f0):
+    from tpuvc.dsp.d4c import d4c
+    kind, x, _, _ = speech_case
+    _, osm = speech_oracle_f0
+    ao = oracle_d4c(x, osm, FS)
+    aj = np.asarray(d4c(np.asarray(x, np.float32),
+                        osm.astype(np.float32)), np.float64)
+    n = min(len(ao), len(aj))
+
+    def db(a):
+        return 20 * np.log10(np.maximum(a, 1e-8))
+
+    d = np.abs(db(ao[:n]) - db(aj[:n]))
+    assert d.mean() < 0.1, f"{kind}: mean {d.mean():.4f} dB"
+    assert np.percentile(d, 95) < 0.2, (
+        f"{kind}: p95 {np.percentile(d, 95):.3f} dB")
+
+
+def test_harvest_parity_speech(speech_case):
+    """Device Harvest vs its float64 oracle twin on speech-shaped signals
+    (VERDICT r2 weak-3: harvest's fixtures mirrored the stationary-tone
+    weakness).  Measured r3: agree >= 0.995 all classes, rel mean
+    <= 5e-4, truth median err <= 4e-4."""
+    from tests.oracle import oracle_harvest
+    from tpuvc.dsp.harvest import harvest
+
+    kind, x, f0_true, _ = speech_case
+    dev = np.asarray(harvest(np.asarray(x, np.float32), FS))
+    orc = oracle_harvest(np.asarray(x, np.float64), FS)
+    n = min(len(dev), len(orc), len(f0_true))
+    dev, orc, f0t = dev[:n], orc[:n], f0_true[:n]
+    v_d, v_o = dev > 0, orc > 0
+    assert np.mean(v_d == v_o) >= 0.97, (
+        f"{kind}: voicing agreement {np.mean(v_d == v_o):.3f}")
+    both = v_d & v_o
+    assert both.sum() > 0.3 * n
+    rel = np.abs(dev[both] - orc[both]) / orc[both]
+    assert rel.mean() < 0.002, f"{kind}: rel mean {rel.mean():.5f}"
+    tv = both & (f0t > 0)
+    terr = np.abs(dev[tv] - f0t[tv]) / f0t[tv]
+    assert np.median(terr) < 0.005, f"{kind}: truth {np.median(terr):.5f}"
