@@ -1,0 +1,109 @@
+"""Convergence training + VAE-vs-VAWGAN A/B (VERDICT r2 item 5).
+
+Trains both models on the synthetic VCC2016-shaped corpus via the
+device-resident multi-step path (train/steps.py), evaluating SF1->TM3
+conversion MCD against the target's parallel recording at fixed
+milestones, so the quality trajectory is reported to convergence and the
+critic's contribution is measured at equal steps.
+
+  python scripts/convergence_ab.py [--steps 30000] [--eval_every 5000]
+                                   [--platform cpu]  # tiny smoke off-chip
+
+Appends results to scale_validation.json under "convergence_ab".
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="/tmp/vcc10")
+    p.add_argument("--logdir", default="/tmp/vcc10_conv")
+    p.add_argument("--steps", type=int, default=30000)
+    p.add_argument("--eval_every", type=int, default=5000)
+    p.add_argument("--n_inner", type=int, default=100)
+    p.add_argument("--n_train", type=int, default=50)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvc-jax-cache")
+
+    from tpuvc.cli import analyze, evaluate
+    from tpuvc.data.dataset import FrameDataset
+    from tpuvc.data.normalizer import Tanhize
+    from tpuvc.data.synthetic import make_vcc2016_corpus
+    from tpuvc.train.trainer import make_trainer
+    from tpuvc.utils.config import Architecture
+
+    if not os.path.isdir(os.path.join(args.root, "wav")):
+        make_vcc2016_corpus(args.root, n_train=args.n_train, n_test=5)
+        print("[conv] corpus generated", flush=True)
+    if not os.path.isdir(os.path.join(args.root, "bin")):
+        analyze.main(["--corpus", args.root, "--quiet"]
+                     + (["--platform", args.platform]
+                        if args.platform else []))
+        print("[conv] corpus analyzed", flush=True)
+
+    ds = FrameDataset.from_bin_dir(args.root)
+    norm = Tanhize.from_etc(os.path.join(args.root, "etc"))
+    data = norm.forward(ds.x)
+    print(f"[conv] {len(ds)} frames resident", flush=True)
+
+    base = Architecture.load("configs/architecture-vawgan-vcc2016.json")
+    results: dict = {"steps": args.steps, "eval_every": args.eval_every,
+                     "models": {}}
+    for model_name, trainer_name in [("VAWGAN", "VAWGANTrainer"),
+                                     ("VAE", "VAETrainer")]:
+        arch = dataclasses.replace(base, model=model_name,
+                                   trainer=trainer_name)
+        run_dir = os.path.join(args.logdir, model_name.lower())
+        os.makedirs(run_dir, exist_ok=True)
+        arch.save(os.path.join(run_dir, "architecture.json"))
+        trainer = make_trainer(arch, run_dir, use_tensorboard=False)
+        traj = []
+        t0 = time.perf_counter()
+        for milestone in range(args.eval_every, args.steps + 1,
+                               args.eval_every):
+            m = trainer.train_resident(data, ds.y, total_steps=milestone,
+                                       n_inner=args.n_inner,
+                                       save_every=args.eval_every)
+            wall = round(time.perf_counter() - t0, 1)
+            ev = evaluate.main(
+                ["--corpus", args.root, "--checkpoint", run_dir,
+                 "--src", "SF1", "--trg", "TM3"]
+                + (["--platform", args.platform] if args.platform else []))
+            traj.append({"step": milestone, "mcd_db": ev["mean"],
+                         "train_wall_s": wall})
+            print(f"[conv] {model_name} step {milestone}: "
+                  f"MCD {ev['mean']} dB (wall {wall}s, "
+                  f"metrics { {k: round(v, 3) for k, v in m.items()} })",
+                  flush=True)
+        trainer.close()
+        results["models"][model_name] = traj
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "scale_validation.json")
+    blob = json.load(open(out)) if os.path.exists(out) else {}
+    blob["convergence_ab"] = results
+    json.dump(blob, open(out, "w"), indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

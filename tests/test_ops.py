@@ -321,3 +321,26 @@ def test_pallas_conv_ln_lrelu_matches_flax():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=f"s={stride} l={l} c={cin}->{cout}")
+
+
+def test_pallas_d2s_ln_lrelu_matches_flax():
+    """Fused depth-to-space+LN+lrelu kernel (interpreter mode) == the
+    decoder's reshape -> LayerNorm -> leaky_relu composition."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from tpuvc.ops.pallas_d2s import d2s_ln_lrelu
+
+    rng = np.random.default_rng(0)
+    for bsz, l, c, s in [(4, 57, 256, 3), (2, 19, 64, 3), (3, 171, 32, 3)]:
+        x = jnp.asarray(rng.standard_normal((bsz, l, c * s)), jnp.float32)
+        g = jnp.asarray(1 + 0.1 * rng.standard_normal(c), jnp.float32)
+        b = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+        ref = x.reshape(bsz, l * s, c)
+        ref = nn.LayerNorm(epsilon=1e-6).apply(
+            {"params": {"scale": g, "bias": b}}, ref)
+        ref = nn.leaky_relu(ref, 0.2)
+        got = d2s_ln_lrelu(x, g, b, s, 0.2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"{bsz},{l},{c},{s}")

@@ -120,6 +120,9 @@ class Decoder(nn.Module):
             if s == 1:
                 h = nn.Conv(c, (k,), strides=(1,), padding="SAME",
                             dtype=self.dtype)(h)
+                if not last:
+                    h = nn.LayerNorm(dtype=self.dtype)(h)
+                    h = nn.leaky_relu(h, self.arch.lrelu_slope)
             else:
                 # subpixel upsampling (conv + depth-to-space): the same
                 # linear family as ConvTranspose but lowers to a dense
@@ -127,10 +130,22 @@ class Decoder(nn.Module):
                 # than transposed-conv scatter (~5x on v5e)
                 h = nn.Conv(c * s, (k,), strides=(1,), padding="SAME",
                             dtype=self.dtype)(h)
-                h = h.reshape(h.shape[0], h.shape[1] * s, c)
-            if not last:
-                h = nn.LayerNorm(dtype=self.dtype)(h)
-                h = nn.leaky_relu(h, self.arch.lrelu_slope)
+                if not last and self.arch.d2s_impl == "pallas":
+                    # fuse the lane relayout with the LN+lrelu that follow
+                    # (ops/pallas_d2s.py; opt-in pending on-chip A/B)
+                    from tpuvc.ops.pallas_d2s import d2s_ln_lrelu
+                    from tpuvc.ops.pallas_window import use_pallas
+                    g = self.param(f"d2s_ln{i}_scale",
+                                   nn.initializers.ones, (c,))
+                    bt = self.param(f"d2s_ln{i}_bias",
+                                    nn.initializers.zeros, (c,))
+                    h = d2s_ln_lrelu(h, g, bt, s, self.arch.lrelu_slope,
+                                     interpret=not use_pallas())
+                else:
+                    h = h.reshape(h.shape[0], h.shape[1] * s, c)
+                    if not last:
+                        h = nn.LayerNorm(dtype=self.dtype)(h)
+                        h = nn.leaky_relu(h, self.arch.lrelu_slope)
         # final layer has 1 channel: squeeze to a frame
         out = h.squeeze(-1) if h.shape[-1] == 1 else nn.Dense(
             1, dtype=self.dtype)(h).squeeze(-1)

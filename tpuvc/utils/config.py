@@ -98,6 +98,9 @@ class Architecture:
     conv_impl: str = "xla"                # "pallas": fused conv+LN+lrelu
     #   kernels on TPU (interpreter-mode elsewhere; parameter tree differs
     #   from the xla impl, so pick per run, not per checkpoint)
+    d2s_impl: str = "xla"                 # "pallas": fused depth-to-space
+    #   + LN + lrelu in the decoder's subpixel layers (ops/pallas_d2s.py;
+    #   LN parameter names differ from the xla impl, so pick per run)
     training: TrainConfig = TrainConfig()
 
     @staticmethod
@@ -105,7 +108,7 @@ class Architecture:
         kw: dict[str, Any] = {}
         for key in ("model", "trainer", "x_dim", "z_dim", "y_dim", "y_emb_dim",
                     "d_conditional", "lrelu_slope", "compute_dtype",
-                    "conv_impl"):
+                    "conv_impl", "d2s_impl"):
             if key in d:
                 kw[key] = d[key]
         # reference alias: "hwc": [513, 1, 1]
