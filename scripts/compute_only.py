@@ -8,7 +8,10 @@ traffic is one dispatch and one scalar pull.  This isolates device
 compute from the sandbox relay that bounds bench.py's end-to-end number
 (docs/PERFORMANCE.md "Where the end-to-end gap is").
 
-  python scripts/compute_only.py [batch] [utterance_s] [K]
+  python scripts/compute_only.py [batch] [utterance_s] [K] [d2s_impl]
+
+d2s_impl (xla | pallas) selects the decoder's subpixel implementation
+(Architecture.d2s_impl) for on-chip A/B of ops/pallas_d2s.py.
 """
 
 from __future__ import annotations
@@ -36,9 +39,10 @@ def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     dur_s = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    d2s_impl = sys.argv[4] if len(sys.argv) > 4 else "xla"
     t_samples = int(dur_s * cfg.fs)
 
-    arch = Architecture(compute_dtype="bfloat16")
+    arch = Architecture(compute_dtype="bfloat16", d2s_impl=d2s_impl)
     model = make_model(arch)
     params = init_params(model, arch, jax.random.PRNGKey(0))
     base = make_batch_convert_fn(model, cfg)
@@ -79,6 +83,7 @@ def main() -> None:
         "unit": "x realtime (s audio / s device compute)",
         "s_per_call": round(best, 4),
         "batch": batch, "utterance_s": dur_s, "k": k,
+        "d2s_impl": d2s_impl,
         "device": str(jax.devices()[0]),
     }))
 

@@ -91,3 +91,24 @@ def test_long_utterance_multi_bucket(converter):
     # sample-rate guard raises
     with pytest.raises(ValueError, match="sample rate"):
         converter.convert(x, "A", "B", fs=22050)
+
+
+def test_ulaw8_transfer_encoding_matches_float32(converter):
+    """Converter(transfer_encoding='ulaw8') returns the same waveform as
+    the float32 path within mu-law quantization error (round 3: the
+    opt-in small-payload drain for bandwidth-limited attachments)."""
+    cfg = DEFAULT_WORLD
+    c = converter
+    cu = Converter(c.model, c.params, c.assets, cfg, bucket_s=1.0,
+                   transfer_encoding="ulaw8")
+    x = make_harmonic(160.0, fs=cfg.fs, dur_s=1.0, n_harm=8, noise=0.003)
+    y_f = c.convert(x.astype(np.float32), "A", "B", seed=3)
+    y_u = cu.convert(x.astype(np.float32), "A", "B", seed=3)
+    assert y_u.shape == y_f.shape
+    scale = max(np.abs(y_f).max(), 1e-6)
+    # worst-case mu-law cell near full scale ~ 2.2% of scale
+    assert np.abs(y_u - y_f).max() < 0.03 * scale
+    # batch path too
+    yb_f = c.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
+    yb_u = cu.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
+    assert np.abs(yb_u - yb_f).max() < 0.03 * scale

@@ -21,7 +21,8 @@ from tpuvc.cli.common import add_platform_flag, apply_platform
 
 
 def load_converter(checkpoint_dir: str, corpus_root: str,
-                   f0_method: str = "dio", ap_method: str = "group_delay"):
+                   f0_method: str = "dio", ap_method: str = "group_delay",
+                   transfer_encoding: str = "float32"):
     """Build a Converter from a training run dir + corpus etc/ stats."""
     import jax
 
@@ -57,7 +58,8 @@ def load_converter(checkpoint_dir: str, corpus_root: str,
     from tpuvc.dsp.constants import DEFAULT_WORLD
     cfg = _dc.replace(DEFAULT_WORLD, f0_method=f0_method,
                       ap_method=ap_method)
-    return Converter(model, state.params, assets, cfg=cfg), step
+    return Converter(model, state.params, assets, cfg=cfg,
+                     transfer_encoding=transfer_encoding), step
 
 
 def main(argv: list[str] | None = None) -> list[str]:
@@ -93,6 +95,12 @@ def main(argv: list[str] | None = None) -> list[str]:
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batched (--all_pairs) conversion over all "
                         "local devices (DP serving, SURVEY.md SS2.4)")
+    p.add_argument("--transfer-encoding", default="float32",
+                   choices=["float32", "ulaw8"],
+                   help="device->host waveform encoding: ulaw8 encodes to "
+                        "8-bit mu-law on device (~4x smaller transfer, "
+                        "~37 dB SNR — ops/ulaw.py) for bandwidth-limited "
+                        "attachments; written WAVs are 16-bit either way")
     add_platform_flag(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -101,7 +109,8 @@ def main(argv: list[str] | None = None) -> list[str]:
     from tpuvc.io.wav import read_wav, write_wav
 
     converter, step = load_converter(args.checkpoint, args.corpus,
-                                     args.f0_method, args.ap_method)
+                                     args.f0_method, args.ap_method,
+                                     args.transfer_encoding)
     split = (corpus_io.TEST_SPLIT if args.split == "test"
              else corpus_io.TRAIN_SPLIT)
     out_dir = args.output or os.path.join(args.checkpoint, "converted")

@@ -118,13 +118,34 @@ class Converter:
     """Host-facing conversion API (reference convert.py main loop)."""
 
     def __init__(self, model, params, assets: ConverterAssets,
-                 cfg: WorldConfig = DEFAULT_WORLD, bucket_s: float = 1.0):
+                 cfg: WorldConfig = DEFAULT_WORLD, bucket_s: float = 1.0,
+                 transfer_encoding: str = "float32"):
+        """``transfer_encoding``: "float32" (default) or "ulaw8" — encode
+        the converted waveform to 8-bit mu-law ON DEVICE and decode on
+        the host, quartering the device->host payload (~37 dB SNR,
+        ops/ulaw.py).  For bandwidth-limited attachments like this
+        sandbox's TCP relay; written WAVs are 16-bit either way."""
+        if transfer_encoding not in ("float32", "ulaw8"):
+            raise ValueError(f"unknown transfer_encoding "
+                             f"{transfer_encoding!r}")
         self.model = model
         self.params = params
         self.assets = assets
         self.cfg = cfg
         self.bucket = int(bucket_s * cfg.fs)
-        self._fn = make_convert_fn(model, cfg)
+        self.transfer_encoding = transfer_encoding
+        base = make_convert_fn(model, cfg)
+        if transfer_encoding == "ulaw8":
+            from tpuvc.ops.ulaw import ulaw_encode
+            self._fn = jax.jit(lambda *a: ulaw_encode(base(*a)))
+        else:
+            self._fn = base
+
+    def _decode_transfer(self, y: np.ndarray) -> np.ndarray:
+        if self.transfer_encoding == "ulaw8":
+            from tpuvc.ops.ulaw import ulaw_decode
+            return ulaw_decode(y)
+        return y
 
     def _pad(self, x: np.ndarray) -> np.ndarray:
         n = max(1, -(-len(x) // self.bucket))
@@ -179,7 +200,13 @@ class Converter:
             return []
         self._check_fs(fs)
         if not hasattr(self, "_batch_fn"):
-            self._batch_fn = make_batch_convert_fn(self.model, self.cfg)
+            base_b = make_batch_convert_fn(self.model, self.cfg)
+            if self.transfer_encoding == "ulaw8":
+                from tpuvc.ops.ulaw import ulaw_encode
+                self._batch_fn = jax.jit(
+                    lambda *a: ulaw_encode(base_b(*a)))
+            else:
+                self._batch_fn = base_b
         a = self.assets
         self._check_speaker_stats(*[a.speakers.index(s) for s in srcs],
                                   *[a.speakers.index(t) for t in trgs])
@@ -236,7 +263,7 @@ class Converter:
                                put(a.f0_mu[ti[idx]], True),
                                put(a.f0_sigma[ti[idx]], True),
                                put(seeds, True))
-            y = np.asarray(y)
+            y = self._decode_transfer(np.asarray(y))
             outs.extend(y[i, :lens[lo + i]] for i in range(hi - lo))
         return outs
 
@@ -253,4 +280,4 @@ class Converter:
                      jnp.float32(a.f0_mu[si]), jnp.float32(a.f0_sigma[si]),
                      jnp.float32(a.f0_mu[ti]), jnp.float32(a.f0_sigma[ti]),
                      jnp.int32(seed))
-        return np.asarray(y)[: len(x)]
+        return self._decode_transfer(np.asarray(y))[: len(x)]
