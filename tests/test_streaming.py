@@ -105,10 +105,13 @@ def test_ulaw8_transfer_encoding_matches_float32(converter):
     y_f = c.convert(x.astype(np.float32), "A", "B", seed=3)
     y_u = cu.convert(x.astype(np.float32), "A", "B", seed=3)
     assert y_u.shape == y_f.shape
-    scale = max(np.abs(y_f).max(), 1e-6)
-    # worst-case mu-law cell near full scale ~ 2.2% of scale
-    assert np.abs(y_u - y_f).max() < 0.03 * scale
+    # the codec contract is [-1, 1] audio (the encoder clips; this toy
+    # model's untrained de-normalization produces out-of-range values, so
+    # the reference is the CLIPPED float path); worst-case mu-law cell
+    # near full scale ~ 2.2%
+    ref = np.clip(y_f, -1.0, 1.0)
+    assert np.abs(y_u - ref).max() < 0.03
     # batch path too
-    yb_f = c.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
     yb_u = cu.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
-    assert np.abs(yb_u - yb_f).max() < 0.03 * scale
+    yb_f = c.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
+    assert np.abs(yb_u - np.clip(yb_f, -1.0, 1.0)).max() < 0.03
