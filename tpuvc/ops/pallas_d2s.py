@@ -34,19 +34,21 @@ _TILE_L = 8   # input rows per program; output rows = _TILE_L * s
 def _kernel(x_ref, g_ref, b_ref, o_ref, *, s: int, c: int, slope: float,
             eps: float):
     x = x_ref[...].astype(jnp.float32)              # [TL, c*s]
-    g = g_ref[0:1, :]                                # [1, c]
-    b = b_ref[0:1, :]
+    g = g_ref[0:1, :].astype(jnp.float32)            # [1, c]
+    b = b_ref[0:1, :].astype(jnp.float32)
     tl = x.shape[0]
+    outs = []
     for si in range(s):
         chunk = x[:, si * c:(si + 1) * c]            # [TL, c]
         mu = jnp.mean(chunk, axis=-1, keepdims=True)
         d = chunk - mu
         var = jnp.mean(d * d, axis=-1, keepdims=True)
         h = d * jax.lax.rsqrt(var + eps) * g + b
-        h = jnp.where(h >= 0, h, slope * h)
-        # output rows si, si+s, ..., si+(TL-1)*s
-        o_ref[si::s, :] = h.astype(o_ref.dtype) if hasattr(o_ref, "dtype") \
-            else h
+        outs.append(jnp.where(h >= 0, h, slope * h))
+    # interleave phases in-registers and store ONE contiguous tile
+    # (Mosaic rejects strided sublane stores like o_ref[si::s, :] = h)
+    tile = jnp.stack(outs, axis=1).reshape(tl * s, c)
+    o_ref[...] = tile.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
