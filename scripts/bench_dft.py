@@ -67,7 +67,7 @@ def main() -> None:
             return re, im
         return f
 
-    variants = {
+    all_variants = {
         "direct": lambda z: dftmod.rdft(z, d),
         "ct32": ct(32),
         "ct64": ct(64),
@@ -75,6 +75,12 @@ def main() -> None:
         "xla_rfft": lambda z: (jnp.real(jnp.fft.rfft(z, axis=-1)),
                                jnp.imag(jnp.fft.rfft(z, axis=-1))),
     }
+    # each variant costs a full remote compile (minutes on this tunnel):
+    # select via argv[3] (comma list), default the three accuracy-approved
+    # candidates
+    pick = (sys.argv[3].split(",") if len(sys.argv) > 3
+            else ["direct", "ct32", "ct64"])
+    variants = {k: all_variants[k] for k in pick}
 
     results = {}
     for name, fn in variants.items():

@@ -12,9 +12,18 @@ LeakyReLU that always follow it, so the retile costs no extra HBM round
 trip: read [TL, c*s], normalize each c-chunk (static lane slices), and
 write chunk si to output rows si::s (strided sublane writes).
 
-Kept opt-in behind Architecture.d2s_impl="pallas" pending an on-chip
-A/B against XLA's reshape+LN fusion (the honest-measurement rule from
-ops/pallas_conv.py applies).
+STATUS (round-3 on-chip result): Mosaic CANNOT lower this kernel on
+real TPU hardware with the current toolchain — both store formulations
+were rejected at compile time: (a) strided sublane stores
+(``o_ref[si::s, :] = h`` -> "tpu.store with strides [3, 1]"), and
+(b) the in-register interleave below (``jnp.stack(outs, axis=1)`` ->
+unsupported vector<8x1x64> -> vector<8x3x64> shuffle).  Combined with
+round 2's algebraic attempt (late depth-to-space: 1.6x slower), the
+decoder's ~25 ms/call retile stands as a compiler-level limitation, not
+a missed optimization on our side.  The kernel is kept as the
+documented attempt and runs correctly in interpreter mode
+(tests/test_ops.py); Architecture.d2s_impl="pallas" remains usable only
+off-TPU.
 """
 
 from __future__ import annotations
