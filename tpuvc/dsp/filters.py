@@ -84,10 +84,17 @@ def _fir_bank_fft(x: jnp.ndarray, fs: float,
         nfft *= 2
     xs = jnp.fft.rfft(x, n=nfft)
     hs = jnp.fft.rfft(taps, n=nfft, axis=-1)
-    y = jnp.fft.irfft(xs[None, :] * hs, n=nfft, axis=-1)   # [C, nfft]
-    delay = (fir_len - 1) // 2
-    idx = jnp.arange(t_len)[None, :] + delay[:, None]
-    return jnp.take_along_axis(y, idx, axis=-1)
+    # group-delay removal as a frequency-domain phase ramp: y[t + delay_c]
+    # == irfft(spec * e^{+2 pi i k delay_c / nfft})[t], EXACTLY (the old
+    # per-channel take_along_axis gather over [C, t_len] indices was the
+    # kind of indexed read this hardware pathologically dislikes —
+    # docs/PERFORMANCE.md "no gathers"; ~13 ms per 100k indices)
+    delay = ((fir_len - 1) // 2).astype(jnp.float32)
+    kk = jnp.arange(nfft // 2 + 1, dtype=jnp.float32)
+    ph = (2.0 * jnp.pi / nfft) * kk[None, :] * delay[:, None]
+    shift = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    y = jnp.fft.irfft(xs[None, :] * hs * shift, n=nfft, axis=-1)
+    return y[..., :t_len]
 
 
 def bandpass_bank_fft(x: jnp.ndarray, fs: float,
