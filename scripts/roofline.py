@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def capture(batch: int, trace_dir: str) -> None:
+def capture(batch: int, trace_dir: str, f0_method: str = "dio") -> None:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from tpuvc.convert.pipeline import make_batch_convert_fn
@@ -32,7 +34,7 @@ def capture(batch: int, trace_dir: str) -> None:
     from tpuvc.models.vae import init_params, make_model
     from tpuvc.utils.config import Architecture
 
-    cfg = DEFAULT_WORLD
+    cfg = dataclasses.replace(DEFAULT_WORLD, f0_method=f0_method)
     dur_s = 4.0
     t_samples = int(dur_s * cfg.fs)
     arch = Architecture(compute_dtype="bfloat16")
@@ -138,9 +140,10 @@ def main() -> None:
     p.add_argument("batch", nargs="?", type=int, default=128)
     p.add_argument("--trace_dir", default="/tmp/tpuvc_trace")
     p.add_argument("--report_only", action="store_true")
+    p.add_argument("--f0-method", default="dio", choices=["dio", "harvest"])
     args = p.parse_args()
     if not args.report_only:
-        capture(args.batch, args.trace_dir)
+        capture(args.batch, args.trace_dir, args.f0_method)
     report(args.trace_dir)
 
 

@@ -154,10 +154,27 @@ def _harmonic_amps_if(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
     mask = jnp.abs(base) <= hw
     seg3 = jnp.where(mask, seg[:, None, :], 0.0)            # [N, K, W]
 
-    t = base / fs
-    phase = 2.0 * jnp.pi * t * f0c / 3.0
-    cp = jnp.cos(phase)
-    sp = jnp.sin(phase)
+    # cos/sin(theta * b) for the [N, K, W] grid from SPLIT-ANGLE factors:
+    # b = 128*b_hi + b_lo, so the transcendentals run on [N, K, 128] and
+    # [N, K, W/128] grids and the full grid is an angle-addition combine
+    # (4 mul + 2 add per element).  The full-grid cos/sin pair was the
+    # refinement's dominant cost — the round-3 roofline put this scan at
+    # 47% of the harvest call's device time, transcendental-bound.
+    assert w % 128 == 0, "refine window must be a lane multiple (constants)"
+    theta = (2.0 * jnp.pi / (3.0 * fs)) * f0c               # [N, K, 1]
+    lo = jnp.arange(128, dtype=jnp.float32)[None, None, :]
+    n_hi = w // 128
+    hi = (jnp.arange(n_hi, dtype=jnp.float32)[None, None, :]
+          * 128.0 - w // 2)
+    a = theta * lo
+    b_ang = theta * hi
+    ca, sa = jnp.cos(a), jnp.sin(a)                         # [N, K, 128]
+    cb, sb = jnp.cos(b_ang), jnp.sin(b_ang)                 # [N, K, n_hi]
+    sh = seg3.shape[:-1]
+    cp = (cb[..., :, None] * ca[..., None, :]
+          - sb[..., :, None] * sa[..., None, :]).reshape(*sh, w)
+    sp = (sb[..., :, None] * ca[..., None, :]
+          + cb[..., :, None] * sa[..., None, :]).reshape(*sh, w)
     win = 0.42 + 0.5 * cp + 0.08 * (2.0 * cp * cp - 1.0)
     win = jnp.where(mask, win, 0.0)
     xw = seg3 * win
