@@ -178,7 +178,11 @@ class Converter:
     # bounds that stage, leaving the ~2x-denser 1 ms analysis grid as
     # harvest's remaining overhead vs DIO.
     MAX_AUDIO_S_PER_CALL = 384.0
-    MAX_AUDIO_S_PER_CALL_HARVEST = 192.0
+    # 128 (not 192): the round-3 channel-block sweep picked 64 channels
+    # per event-track step for 2.3x throughput; its in-flight scan
+    # buffers scale with call audio, and 128 s/call is the measured-safe
+    # envelope at that block size (cb=152 already spilled at 128 s)
+    MAX_AUDIO_S_PER_CALL_HARVEST = 128.0
 
     def convert_batch(self, xs: list[np.ndarray], srcs: list[str],
                       trgs: list[str], seed: int = 0,

@@ -222,8 +222,13 @@ _REFINE_CHUNK = 128
 
 # Band-pass channels per lax.map step of the event-track stage (see
 # harvest(): all 152 channels at once held ~200 MB of scan temporaries
-# per audio-second).
-_CHANNEL_BLOCK = 8
+# per audio-second).  On-chip sweep at batch 32 x 4 s (round 3):
+# cb=8 -> 4.00 s/call, 32 -> 2.62, 64 -> 1.74, all-152 -> 3.32 (HBM
+# pressure).  48 is the shipped value: cb=64's in-flight scan buffers
+# project to 14.3 GB at the 128 s/call budget under XLA memory analysis
+# (tests/test_budget.py limit 14.2) — 48 keeps ~25% headroom at ~95% of
+# the cb=64 throughput.
+_CHANNEL_BLOCK = 48
 
 
 def _refine_and_score(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
