@@ -178,10 +178,12 @@ class Converter:
     # bounds that stage, leaving the ~2x-denser 1 ms analysis grid as
     # harvest's remaining overhead vs DIO.
     MAX_AUDIO_S_PER_CALL = 384.0
-    # 128 (not 192): the round-3 channel-block sweep picked 64 channels
-    # per event-track step for 2.3x throughput; its in-flight scan
-    # buffers scale with call audio, and 128 s/call is the measured-safe
-    # envelope at that block size (cb=152 already spilled at 128 s)
+    # Since the block-granular event scans (dio._channel_tracks) the
+    # harvest graph's temp slope is ~52 MB/audio-s (all 152 channels
+    # unserialized) and 256 s/call was measured safe on chip — but the
+    # call is compute-bound and scales linearly (batch 64 x 4 s bench:
+    # 234.9x vs batch 32's 247.2x), so 128 s stays the
+    # throughput-optimal cap; raising it buys nothing measurable.
     MAX_AUDIO_S_PER_CALL_HARVEST = 128.0
 
     def convert_batch(self, xs: list[np.ndarray], srcs: list[str],

@@ -43,42 +43,55 @@ def _boundary_f0s(f0_floor: float, f0_ceil: float) -> tuple[float, ...]:
                  for i in range(n))
 
 
-def _top2_max_scan(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Prefix (largest, second-largest) of v — one associative scan."""
+def _top2_max_scan(pair: tuple) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Prefix top-2 combine of sorted (largest, second) pairs — one scan."""
     def op(x, y):
         a1, a2 = x
         b1, b2 = y
         return (jnp.maximum(a1, b1),
                 jnp.maximum(jnp.minimum(a1, b1), jnp.maximum(a2, b2)))
-    return jax.lax.associative_scan(op, (v, jnp.full_like(v, -jnp.inf)))
+    return jax.lax.associative_scan(op, pair)
 
 
-def _top2_min_scan_rev(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Suffix (smallest, second-smallest) of v — one associative scan."""
+def _top2_min_scan_rev(pair: tuple) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Suffix top-2-min combine of sorted (smallest, second) pairs."""
     def op(x, y):
         a1, a2 = x
         b1, b2 = y
         return (jnp.minimum(a1, b1),
                 jnp.minimum(jnp.maximum(a1, b1), jnp.minimum(a2, b2)))
-    return jax.lax.associative_scan(op, (v, jnp.full_like(v, jnp.inf)),
-                                    reverse=True)
+    return jax.lax.associative_scan(op, pair, reverse=True)
 
 
-def _strided_read(arr: jnp.ndarray, start: int, stride: int,
-                  n: int, fill: float) -> jnp.ndarray:
-    """arr[start::stride][:n], padded with edge values; `fill` is used for
-    the out-of-range head when start < 0 (frame 0 reads cell -1)."""
-    if start < 0:
-        head = jnp.full((1,), fill, arr.dtype)
-        body = jax.lax.slice(arr, (start + stride,), (arr.shape[0],),
-                             (stride,))[: n - 1]
-        out = jnp.concatenate([head, body])
+def _block_top2(v: jnp.ndarray, stride: int, nb: int, largest: bool
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[L] masked event times -> per-block sorted top-2 pair ([nb], [nb]).
+
+    Blocks are `stride` consecutive cells; non-events carry the fill value
+    (-inf for largest, +inf for smallest), so padding is inert.  Top-2 via
+    argmax one-hot removal — no gathers, and exact under ties (removes one
+    instance with multiplicity).
+    """
+    fill = -jnp.inf if largest else jnp.inf
+    pad = nb * stride - v.shape[0]
+    vb = jnp.pad(v, (0, pad), constant_values=fill).reshape(nb, stride)
+    if largest:
+        m1 = jnp.max(vb, axis=-1)
+        am = jnp.argmax(vb, axis=-1)
     else:
-        out = jax.lax.slice(arr, (start,), (arr.shape[0],), (stride,))[:n]
-    pad = n - out.shape[0]
-    if pad > 0:
-        out = jnp.concatenate([out, jnp.broadcast_to(out[-1:], (pad,))])
-    return out
+        m1 = jnp.min(vb, axis=-1)
+        am = jnp.argmin(vb, axis=-1)
+    rest = jnp.where(jnp.arange(stride)[None, :] == am[:, None], fill, vb)
+    m2 = jnp.max(rest, axis=-1) if largest else jnp.min(rest, axis=-1)
+    return m1, m2
+
+
+def _edge_pad(v: jnp.ndarray, n: int) -> jnp.ndarray:
+    """v[:n], extended by repeating the last value if v is short."""
+    if v.shape[0] >= n:
+        return v[:n]
+    return jnp.concatenate(
+        [v, jnp.broadcast_to(v[-1:], (n - v.shape[0],))])
 
 
 def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
@@ -87,11 +100,18 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
 
     Scatter-AND-gather-free formulation: instead of compacting event times
     into a dense list (scatter) and interpolating (searchsorted), top-2
-    associative scans give every cell the last two event times at or
-    before it and the next two after it, and frames read them by STRIDED
-    SLICES (frame i sits at cell i*stride exactly, so no gathers — the 16
-    frame-indexed gathers this replaces were 107 ms/call at batch 128 on
-    v5e, the single largest cost in the convert graph).  The frame's f0 is
+    combines give every FRAME the last two event times before it and the
+    next two at-or-after it (frame i sits at cell i*stride exactly, so no
+    gathers — the 16 frame-indexed gathers this replaces were 107 ms/call
+    at batch 128 on v5e, the single largest cost in the convert graph).
+    Because frames only read at stride boundaries, the scans run at BLOCK
+    granularity: a per-block top-2 reduction over the stride cells feeds a
+    block-level associative scan that is stride x shorter than the cell
+    grid (8x for harvest, 20x for DIO) — exact, since combining sorted
+    top-2 pairs is the same associative op, and the cells a frame never
+    reads need no prefix of their own.  The cell-granular scans this
+    replaces were 47% of the harvest call's device time and dominated its
+    HBM slope (~30 [Td] temporaries/channel).  The frame's f0 is
     WORLD's interval contour: each interval's f0 value sits at the
     interval MIDPOINT and is linearly interpolated between midpoints
     (matlab interp1 semantics with edge hold — the same contour the
@@ -106,16 +126,29 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
         m = (sign * s[:-1] > 0) & (sign * s[1:] <= 0)
         frac = jnp.where(m, s[:-1] / jnp.where(m, s[:-1] - s[1:], 1.0), 0.0)
         tpos = jnp.arange(s.shape[0] - 1, dtype=jnp.float32) + frac + offset
-        prev1, prev2 = _top2_max_scan(jnp.where(m, tpos, -jnp.inf))
-        nxt1, nxt2 = _top2_min_scan_rev(jnp.where(m, tpos, jnp.inf))
-        # an event in cell n has time in [n, n+1): cells <= pf-1 are strictly
-        # before the frame, cells >= pf at-or-after — so read prev one cell
-        # back, else a frame sharing a cell with an event reads it as both
-        # neighbors (a == b -> spuriously invalid)
-        a = _strided_read(prev1, -1, stride, n_frames, -jnp.inf)
-        a0 = _strided_read(prev2, -1, stride, n_frames, -jnp.inf)
-        b = _strided_read(nxt1, 0, stride, n_frames, jnp.inf)
-        b2 = _strided_read(nxt2, 0, stride, n_frames, jnp.inf)
+        ncells = s.shape[0] - 1
+        nb = -(-ncells // stride)
+        # an event in cell n has time in [n, n+1): cells <= i*stride-1 are
+        # strictly before frame i, cells >= i*stride at-or-after — so frame
+        # i reads the prefix of blocks 0..i-1 (exclusive: frame 0 sees
+        # none, else a frame sharing a cell with an event reads it as both
+        # neighbors, a == b -> spuriously invalid) and the suffix from
+        # block i (inclusive)
+        p1, p2 = _top2_max_scan(
+            _block_top2(jnp.where(m, tpos, -jnp.inf), stride, nb, True))
+        s1, s2 = _top2_min_scan_rev(
+            _block_top2(jnp.where(m, tpos, jnp.inf), stride, nb, False))
+        neg = jnp.full((1,), -jnp.inf, jnp.float32)
+        # frame i's prefix read position is cell i*stride-1, which exists
+        # only for i <= ncells//stride; frames past the signal end repeat
+        # the last in-range prefix (edge pad) rather than reading the full
+        # prefix — else such a frame sees events at-or-after its own
+        # position in BOTH neighbors (a >= b -> spuriously unvoiced)
+        n_read = ncells // stride + 1
+        a = _edge_pad(jnp.concatenate([neg, p1])[:n_read], n_frames)
+        a0 = _edge_pad(jnp.concatenate([neg, p2])[:n_read], n_frames)
+        b = _edge_pad(s1, n_frames)
+        b2 = _edge_pad(s2, n_frames)
         left_ok = jnp.isfinite(a0) & (a0 < a - 1e-3)
         right_ok = jnp.isfinite(b2) & (b2 > b + 1e-3)
 
@@ -139,11 +172,10 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
         # edge hold (WORLD interp1 semantics): frames before the first event
         # read the first interval's f0, frames after the last event the last
         # interval's — otherwise utterance-edge frames lose their track and
-        # come out spuriously unvoiced (oracle parity: tests/oracle/dio.py)
-        e0 = jnp.min(jnp.where(m, tpos, jnp.inf))
-        e1 = jnp.min(jnp.where(m & (tpos > e0), tpos, jnp.inf))
-        en = jnp.max(jnp.where(m, tpos, -jnp.inf))
-        en1 = jnp.max(jnp.where(m & (tpos < en), tpos, -jnp.inf))
+        # come out spuriously unvoiced (oracle parity: tests/oracle/dio.py).
+        # The global first/last two event times are the block scans' ends.
+        e0, e1 = s1[0], s2[0]
+        en, en1 = p1[-1], p2[-1]
         first = jnp.where(jnp.isfinite(e0) & jnp.isfinite(e1),
                           fs_d / jnp.maximum(e1 - e0, 1e-6), 0.0)
         last = jnp.where(jnp.isfinite(en) & jnp.isfinite(en1),

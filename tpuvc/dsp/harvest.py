@@ -220,15 +220,15 @@ def _harmonic_amps_if(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
 # Budget asserted by tests/test_budget.py via compiled memory analysis.
 _REFINE_CHUNK = 128
 
-# Band-pass channels per lax.map step of the event-track stage (see
-# harvest(): all 152 channels at once held ~200 MB of scan temporaries
-# per audio-second).  On-chip sweep at batch 32 x 4 s (round 3):
-# cb=8 -> 4.00 s/call, 32 -> 2.62, 64 -> 1.74, all-152 -> 3.32 (HBM
-# pressure).  48 is the shipped value: cb=64's in-flight scan buffers
-# project to 14.3 GB at the 128 s/call budget under XLA memory analysis
-# (tests/test_budget.py limit 14.2) — 48 keeps ~25% headroom at ~95% of
-# the cb=64 throughput.
-_CHANNEL_BLOCK = 48
+# Band-pass channels per lax.map step of the event-track stage.  With
+# cell-granular event scans this had to be 48 (the [Td]-length scan
+# temporaries dominated the HBM slope; round-3 sweep cb=8/32/64/152 ->
+# 4.00/2.62/1.74/3.32 s/call at batch 32 x 4 s).  The block-granular
+# scans (dio._channel_tracks: per-block top-2 reduction + stride x
+# shorter scan) cut those temporaries 8x, so all 152 channels now run
+# unserialized — full-graph temp slope 52 MB/audio-s (6.7 GB projected
+# at the 128 s budget, tests/test_budget.py).
+_CHANNEL_BLOCK = 152
 
 
 def _refine_and_score(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
