@@ -146,3 +146,63 @@ def test_harvest_short_signals_are_finite():
         f0 = np.asarray(harvest_config(x, cfg))
         assert f0.shape == (n // cfg.hop + 1,)
         assert np.isfinite(f0).all()
+
+
+@pytest.mark.parametrize("stride,ncells,n_frames", [
+    (8, 999, 126),    # harvest grid, partial final block
+    (8, 1000, 126),   # exact block boundary
+    (20, 1599, 81),   # DIO grid (0.4 s fixture shapes)
+    (20, 37, 5),      # fewer blocks than frames -> edge pad
+    (3, 50, 30),      # frames past the signal end
+])
+def test_blocked_event_scans_match_bruteforce(stride, ncells, n_frames):
+    """The block-granular top-2 scans must read, at every frame position,
+    exactly what the cell-granular formulation read: prefix top-2 over
+    cells <= i*stride-1 (clamped to the last in-range read position for
+    frames past the signal end) and suffix top-2-min over cells >=
+    min(i, nb-1)*stride.  Brute-force reference over random sparse event
+    patterns, including empty and single-event cases."""
+    import jax.numpy as jnp
+
+    from tpuvc.dsp.dio import (_block_top2, _edge_pad, _top2_max_scan,
+                               _top2_min_scan_rev)
+
+    rng = np.random.default_rng(ncells * stride)
+    for density in (0.0, 0.001, 0.02, 0.3):
+        m = rng.random(ncells) < density
+        if density == 0.001 and not m.any():
+            m[ncells // 2] = True             # force the single-event case
+        tpos = np.arange(ncells) + rng.random(ncells)
+
+        nb = -(-ncells // stride)
+        p1, p2 = _top2_max_scan(
+            _block_top2(jnp.where(m, tpos, -np.inf).astype(jnp.float32),
+                        stride, nb, True))
+        s1, s2 = _top2_min_scan_rev(
+            _block_top2(jnp.where(m, tpos, np.inf).astype(jnp.float32),
+                        stride, nb, False))
+        neg = jnp.full((1,), -jnp.inf, jnp.float32)
+        n_read = ncells // stride + 1
+        a = np.asarray(_edge_pad(jnp.concatenate([neg, p1])[:n_read],
+                                 n_frames))
+        a0 = np.asarray(_edge_pad(jnp.concatenate([neg, p2])[:n_read],
+                                  n_frames))
+        b = np.asarray(_edge_pad(s1, n_frames))
+        b2 = np.asarray(_edge_pad(s2, n_frames))
+
+        ev = np.where(m, tpos, np.nan)
+        for i in range(n_frames):
+            # prefix read position: cell i*stride-1, clamped in-range
+            pc = min(i, n_read - 1) * stride - 1
+            pre = np.sort(ev[: pc + 1][~np.isnan(ev[: pc + 1])])[::-1]
+            ref_a = pre[0] if len(pre) > 0 else -np.inf
+            ref_a0 = pre[1] if len(pre) > 1 else -np.inf
+            # suffix read position: cell min(i, nb-1)*stride
+            sc = min(i, nb - 1) * stride
+            suf = np.sort(ev[sc:][~np.isnan(ev[sc:])])
+            ref_b = suf[0] if len(suf) > 0 else np.inf
+            ref_b2 = suf[1] if len(suf) > 1 else np.inf
+            assert a[i] == np.float32(ref_a), (i, density, a[i], ref_a)
+            assert a0[i] == np.float32(ref_a0), (i, density)
+            assert b[i] == np.float32(ref_b), (i, density)
+            assert b2[i] == np.float32(ref_b2), (i, density)
