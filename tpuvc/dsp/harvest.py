@@ -57,7 +57,6 @@ from tpuvc.dsp.constants import (DEFAULT_WORLD, HARVEST_BAND_GATE_HIGH,
                                  harvest_refine_window)
 from tpuvc.dsp.dio import (_channel_tracks, _extend_scan,
                            _fix_step_remove_short_runs)
-from tpuvc.ops.framing import frame_signal
 
 _K = HARVEST_MAX_CANDIDATES
 
@@ -244,9 +243,30 @@ def _refine_and_score(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
     each frame's refinement is independent, so chunking is exact — same
     numbers as the round-2 all-at-once version (pinned by the oracle
     parity suite) with peak memory ~ chunk instead of ~ N.
+
+    Each block frames its own segment window IN the loop body from a
+    ~(chunk*hop + W)-sample dynamic slice of the (center-padded) signal,
+    instead of carrying the pre-framed [N, W] array through the lax.map:
+    at batch 32 x 4 s that array is 393 MB and its per-step chunk
+    slicing/copying was the largest single op in the harvest roofline
+    (while.60, 171 ms/call at 22 GB/s — loop state movement, initially
+    misattributed to the channel merge; see docs/PERFORMANCE.md round-3
+    notes).  The in-body framing reads ~2.2 MB per step instead.
     """
-    seg = frame_signal(x, hop_1ms, win, n_1ms)              # [N, W]
     hh = jnp.arange(1, STONEMASK_NUM_HARMONICS + 1, dtype=jnp.float32)
+    half = win // 2
+
+    def chunk_frames(buf, n):
+        """out[r, j] = buf[r*hop_1ms + j] for r < n, j < win — the same
+        shifted-slice framing as ops.framing.frame_signal, minus the
+        centering pad (buf is already offset)."""
+        k = -(-win // hop_1ms) + 1
+        need = (n + k) * hop_1ms
+        bp = jnp.pad(buf, (0, need - buf.shape[0]))
+        rows = bp.reshape(-1, hop_1ms)
+        cols = [rows[j: j + n] for j in range(k)]
+        return jax.lax.slice_in_dim(jnp.concatenate(cols, axis=-1), 0, win,
+                                    axis=1)
 
     def block(args):
         seg_c, cands_c = args
@@ -277,12 +297,23 @@ def _refine_and_score(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
     chunk = min(_REFINE_CHUNK, n_1ms)
     pad = (-n_1ms) % chunk
     nc = (n_1ms + pad) // chunk
-    seg_b = jnp.pad(seg, ((0, pad), (0, 0))).reshape(nc, chunk, -1)
     cand_b = jnp.pad(cands, ((0, pad), (0, 0))).reshape(nc, chunk, _K)
+    buf_len = (chunk - 1) * hop_1ms + win
+    need = (nc * chunk - 1) * hop_1ms + win
+    xp = jnp.pad(x, (half, max(0, need - half - x.shape[0])))
     if nc == 1:
-        refined, score = block((seg_b[0], cand_b[0]))
+        seg0 = chunk_frames(jax.lax.slice(xp, (0,), (buf_len,)), chunk)
+        refined, score = block((seg0, cand_b[0]))
         return refined[:n_1ms], score[:n_1ms]
-    refined, score = jax.lax.map(block, (seg_b, cand_b))
+
+    def indexed_block(args):
+        ci, cands_c = args
+        buf = jax.lax.dynamic_slice(xp, (ci * (chunk * hop_1ms),),
+                                    (buf_len,))
+        return block((chunk_frames(buf, chunk), cands_c))
+
+    refined, score = jax.lax.map(indexed_block,
+                                 (jnp.arange(nc), cand_b))
     return (refined.reshape(-1, _K)[:n_1ms],
             score.reshape(-1, _K)[:n_1ms])
 
