@@ -452,11 +452,17 @@ def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
     track_one = lambda s: _channel_tracks(s, fs_d, n_1ms, hop_1ms_d)
     cb = _CHANNEL_BLOCK
     c = filtered.shape[0]
-    pad_c = (-c) % cb
-    blocks = jnp.pad(filtered, ((0, pad_c), (0, 0))).reshape(
-        (c + pad_c) // cb, cb, -1)
-    tracks = jax.lax.map(jax.vmap(track_one), blocks)
-    tracks = tracks.reshape(-1, 4, n_1ms)[:c]
+    if cb >= c:
+        # one block covers the bank: skip the lax.map — a 1-step while
+        # still pays carried-buffer plumbing and blocks fusion with the
+        # neighboring stages
+        tracks = jax.vmap(track_one)(filtered)
+    else:
+        pad_c = (-c) % cb
+        blocks = jnp.pad(filtered, ((0, pad_c), (0, 0))).reshape(
+            (c + pad_c) // cb, cb, -1)
+        tracks = jax.lax.map(jax.vmap(track_one), blocks)
+        tracks = tracks.reshape(-1, 4, n_1ms)[:c]
     cand, dev = _channel_candidates(
         tracks, jnp.asarray(bfs_t, jnp.float32), floor, ceil)
 
