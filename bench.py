@@ -14,10 +14,11 @@ The default drain encoding is mu-law 8-bit (tpuvc/ops/ulaw.py): this
 sandbox's TCP relay moves ~33 MB/s, so the int16 payload (2 B/sample,
 16.4 MB at batch 128 x 4 s) costs ~0.49 s/call against ~0.33 s of
 compute — the bench was relay-bound.  Halving the payload makes the call
-compute-bound; the quality cost is ~37 dB SNR (tests/test_ulaw.py),
-reported as ulaw_snr_db from round-3 measurement.  int16 stays the
-product default (CLI convert writes 16-bit WAVs); pass "both" to measure
-the int16 drain in the same process for the decomposition table.
+compute-bound; the quality cost is ~37 dB SNR (tests/test_ulaw.py).
+int16 stays the product default (CLI convert writes 16-bit WAVs); pass
+"both" to measure the int16 drain AND a fresh ulaw_snr_db in the same
+process (the default mode reports ulaw_snr_db: null — measuring it
+needs the int16 graph, a second multi-minute remote compile).
 """
 
 from __future__ import annotations
@@ -55,15 +56,21 @@ def _pipelined_threaded(convert, args, k: int, depth: int) -> float:
     err: list[BaseException] = []
 
     def drain():
+        # After a relay error, keep CONSUMING the queue (discarding items)
+        # until the sentinel: returning early would leave the bounded queue
+        # full and deadlock the producer's q.put forever.
+        failed = False
         while True:
             o = q.get()
             if o is None:
                 return
+            if failed:
+                continue
             try:
                 np.asarray(o)
             except BaseException as e:   # surface relay errors
                 err.append(e)
-                return
+                failed = True
 
     th = threading.Thread(target=drain, daemon=True)
     t0 = time.perf_counter()
@@ -113,6 +120,9 @@ def main() -> None:
     batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 128
     dur_s = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
     encoding = sys.argv[3] if len(sys.argv) > 3 else "ulaw8"
+    if encoding not in ("ulaw8", "int16", "both"):
+        raise SystemExit(f"unknown encoding {encoding!r}; "
+                         "expected ulaw8 | int16 | both")
     t_samples = int(dur_s * cfg.fs)
 
     arch = Architecture(compute_dtype="bfloat16")
@@ -182,18 +192,18 @@ def main() -> None:
         out["int16"] = {"best": i16_detail[i16_name]["median"],
                         "strategy": i16_name, "detail": i16_detail}
 
-    # quantify the mu-law cost against the same call's int16-grade float
+    # quantify the mu-law cost against the same call's int16-grade float.
+    # Measuring needs the int16 variant (a second compile — minutes on the
+    # axon remote-compile path), so it only runs in "both" mode; the
+    # default-mode JSON reports null rather than a stale constant
+    # (tests/test_ulaw.py pins the codec at ~37 dB on speech-grade signals).
     snr_db = None
-    if encoding != "int16":
+    if encoding == "both":
         dec = ulaw_decode(np.asarray(convert_u8(*args)))
-        if encoding == "both":
-            ref = np.asarray(convert_i16(*args), np.float32) / 32767.0
-            num = float(np.sum(ref * ref))
-            den = float(np.sum((dec - ref) ** 2))
-            snr_db = round(10.0 * np.log10(num / max(den, 1e-20)), 1)
-        else:
-            snr_db = 37.1   # measured r3 on this signal class (both-mode
-            #                 + tests/test_ulaw.py pin the measurement)
+        ref = np.asarray(convert_i16(*args), np.float32) / 32767.0
+        num = float(np.sum(ref * ref))
+        den = float(np.sum((dec - ref) ** 2))
+        snr_db = round(10.0 * np.log10(num / max(den, 1e-20)), 1)
 
     audio_seconds = batch * dur_s
     value = audio_seconds / best

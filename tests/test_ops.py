@@ -139,6 +139,15 @@ def test_rdft_ct_identity_and_accuracy():
             assert err_ct < err_mm / 5.0, (
                 f"{fft_size}: ct {err_ct:.2e} vs direct {err_mm:.2e}")
 
+    # the explicit n1 split override (used by scripts/bench_dft.py to A/B
+    # factorizations against the shipped path) matches rfft too
+    x = rng.standard_normal((4, 1024))
+    want = np.fft.rfft(x)
+    for n1 in (16, 64, 128):
+        re, im = rdft_ct(jnp.asarray(x, jnp.float32), 1024, n1=n1)
+        got = np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64)
+        assert np.abs(got - want).max() < 5e-3, n1
+
 
 def test_dft_float64_precision():
     """Bound the float32-theta phase error of the on-device generated

@@ -186,6 +186,22 @@ def test_resident_multistep_trains_and_resumes(small_arch, tmp_path):
     assert int(t2.state.step) == 20
     t2.close()
 
+    # already complete -> ZERO extra steps (a re-run must not overshoot
+    # the checkpoint the way the old max(1, ...) dispatch count did)
+    t3 = VAWGANTrainer(small_arch, run, use_tensorboard=False)
+    assert t3.train_resident(data, labels, total_steps=20, n_inner=5) == {}
+    assert int(t3.state.step) == 20
+    # a remainder that is not a multiple of n_inner lands EXACTLY on
+    # total_steps via one short dispatch
+    t3.train_resident(data, labels, total_steps=23, n_inner=5)
+    assert int(t3.state.step) == 23
+    # repeated calls reuse the compiled programs and the resident table
+    t3.train_resident(data, labels, total_steps=33, n_inner=5)
+    assert int(t3.state.step) == 33
+    assert set(t3._multistep_cache) == {3, 5}
+    assert t3._resident_src[0] is data
+    t3.close()
+
     # the VAE variant learns: loss after 60 resident steps < after 5
     run2 = str(tmp_path / "resident_vae")
     os.makedirs(run2)

@@ -132,8 +132,8 @@ def rdft_power(x: jnp.ndarray, fft_size: int,
     return re * re + im * im
 
 
-def rdft_ct(x: jnp.ndarray, fft_size: int, n_bins: int | None = None
-            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+def rdft_ct(x: jnp.ndarray, fft_size: int, n_bins: int | None = None,
+            n1: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """rfft(x, fft_size) as a TWO-STAGE Cooley-Tukey factorization of
     matmuls — FFT-class accumulation accuracy on the MXU.
 
@@ -156,14 +156,18 @@ def rdft_ct(x: jnp.ndarray, fft_size: int, n_bins: int | None = None
       X[k1, k2] = sum_m2 B[k1, m2] W_{n2}^{k2 m2}      (depth-n2 matmul)
 
     x: [..., support] real, support <= fft_size (zero-padded).  Returns
-    (re, im) [..., n_bins].  fft_size must be a power of two.
+    (re, im) [..., n_bins].  fft_size must be a power of two.  n1
+    overrides the (near-square, default) split — used by
+    scripts/bench_dft.py to A/B factorizations against THIS code path.
     """
     half = fft_size // 2 + 1
     if n_bins is None:
         n_bins = half
     log2n = fft_size.bit_length() - 1
     assert 1 << log2n == fft_size, "rdft_ct requires a power-of-two size"
-    n1 = 1 << ((log2n + 1) // 2)
+    if n1 is None:
+        n1 = 1 << ((log2n + 1) // 2)
+    assert fft_size % n1 == 0, "n1 must divide fft_size"
     n2 = fft_size // n1
     lead = x.shape[:-1]
     support = x.shape[-1]
