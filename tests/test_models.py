@@ -150,3 +150,44 @@ def test_full_arch_output_is_513(arch):
     y = jnp.zeros((2,), jnp.int32)
     out = model.apply(params, x, y, jax.random.PRNGKey(1))
     assert out["xh"].shape == (2, 513)
+
+
+def test_d2s_pallas_guard_fails_fast_on_tpu(small_arch):
+    """d2s_impl='pallas' must raise BEFORE any compile on TPU platforms
+    (Mosaic rejects the kernel's stores on hardware — measured negative,
+    docs/PERFORMANCE.md item 5; ADVICE r3)."""
+    import dataclasses
+
+    from tpuvc.models.vae import check_d2s_impl
+    arch = dataclasses.replace(small_arch, d2s_impl="pallas")
+    for platform in ("tpu", "axon"):
+        with pytest.raises(ValueError, match="unsupported on TPU"):
+            check_d2s_impl(arch, platform)
+    # fine off-TPU (interpreter-mode test artifact) and for the xla impl
+    check_d2s_impl(arch, "cpu")
+    check_d2s_impl(small_arch, "tpu")
+
+
+def test_output_activation_flag(small_arch):
+    """tanh (parity default, SURVEY.md SS3.4) bounds the decoded frame to
+    [-1, 1]; 'linear' is unbounded; unknown values fail fast."""
+    import dataclasses
+
+    from tpuvc.models.vae import make_model
+    assert small_arch.output_activation == "tanh"
+    model = make_model(small_arch)
+    params = init_params(model, small_arch, jax.random.PRNGKey(0))
+    z = 50.0 * jax.random.normal(jax.random.PRNGKey(1),
+                                 (4, small_arch.z_dim))
+    y = jnp.zeros((4,), jnp.int32)
+    out = model.apply(params, z, y, method=type(model).decode)
+    assert float(jnp.max(jnp.abs(out))) <= 1.0
+
+    lin = dataclasses.replace(small_arch, output_activation="linear")
+    with pytest.raises(ValueError, match="output_activation"):
+        make_model(dataclasses.replace(small_arch,
+                                       output_activation="sigmoid"))
+    model_l = make_model(lin)
+    params_l = init_params(model_l, lin, jax.random.PRNGKey(0))
+    out_l = model_l.apply(params_l, z, y, method=type(model_l).decode)
+    assert out_l.shape == out.shape

@@ -196,10 +196,18 @@ def test_resident_multistep_trains_and_resumes(small_arch, tmp_path):
     t3.train_resident(data, labels, total_steps=23, n_inner=5)
     assert int(t3.state.step) == 23
     # repeated calls reuse the compiled programs and the resident table
+    dev_table = t3._resident_dev
     t3.train_resident(data, labels, total_steps=33, n_inner=5)
     assert int(t3.state.step) == 33
     assert set(t3._multistep_cache) == {3, 5}
-    assert t3._resident_src[0] is data
+    assert t3._resident_dev is dev_table      # no re-upload
+    # in-place mutation of the SAME ndarray must invalidate the device
+    # copy (the cache keys on a content fingerprint, not identity alone —
+    # ADVICE r3: identity-only caching trained on stale data)
+    data *= 1.5
+    t3.train_resident(data, labels, total_steps=38, n_inner=5)
+    assert t3._resident_dev is not dev_table
+    data /= 1.5
     t3.close()
 
     # the VAE variant learns: loss after 60 resident steps < after 5

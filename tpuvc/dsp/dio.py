@@ -174,11 +174,19 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
         # interval's — otherwise utterance-edge frames lose their track and
         # come out spuriously unvoiced (oracle parity: tests/oracle/dio.py).
         # The global first/last two event times are the block scans' ends.
+        # Those are top-2 WITH multiplicity: two events with identical
+        # crossing time (an exact-zero sample at a cell boundary) make the
+        # pair degenerate (e1 == e0) and fs_d/1e-6 would masquerade as a
+        # candidate — require a strictly later/earlier second event
+        # (matching the old distinct-time semantics; same 1e-3-cell
+        # tolerance as left_ok/right_ok) and degrade to unvoiced otherwise.
         e0, e1 = s1[0], s2[0]
         en, en1 = p1[-1], p2[-1]
-        first = jnp.where(jnp.isfinite(e0) & jnp.isfinite(e1),
+        first = jnp.where(jnp.isfinite(e0) & jnp.isfinite(e1)
+                          & (e1 > e0 + 1e-3),
                           fs_d / jnp.maximum(e1 - e0, 1e-6), 0.0)
-        last = jnp.where(jnp.isfinite(en) & jnp.isfinite(en1),
+        last = jnp.where(jnp.isfinite(en) & jnp.isfinite(en1)
+                         & (en > en1 + 1e-3),
                          fs_d / jnp.maximum(en - en1, 1e-6), 0.0)
         edge = jnp.where(~jnp.isfinite(a) & jnp.isfinite(b), first,
                          jnp.where(jnp.isfinite(a) & ~jnp.isfinite(b),

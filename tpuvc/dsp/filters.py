@@ -85,10 +85,12 @@ def _fir_bank_fft(x: jnp.ndarray, fs: float,
     xs = jnp.fft.rfft(x, n=nfft)
     hs = jnp.fft.rfft(taps, n=nfft, axis=-1)
     # group-delay removal as a frequency-domain phase ramp: y[t + delay_c]
-    # == irfft(spec * e^{+2 pi i k delay_c / nfft})[t], EXACTLY (the old
-    # per-channel take_along_axis gather over [C, t_len] indices was the
-    # kind of indexed read this hardware pathologically dislikes —
-    # docs/PERFORMANCE.md "no gathers"; ~13 ms per 100k indices)
+    # == irfft(spec * e^{+2 pi i k delay_c / nfft})[t], exact up to float32
+    # phase-ramp rounding (~1e-4 rad at phases up to ~pi*delay; the old
+    # per-channel take_along_axis gather was bit-exact and the goldens were
+    # regenerated over this drift — tests/make_goldens.py).  The gather it
+    # replaces is the kind of indexed read this hardware pathologically
+    # dislikes — docs/PERFORMANCE.md "no gathers"; ~13 ms per 100k indices
     delay = ((fir_len - 1) // 2).astype(jnp.float32)
     kk = jnp.arange(nfft // 2 + 1, dtype=jnp.float32)
     ph = (2.0 * jnp.pi / nfft) * kk[None, :] * delay[:, None]

@@ -149,6 +149,11 @@ class Decoder(nn.Module):
         # final layer has 1 channel: squeeze to a frame
         out = h.squeeze(-1) if h.shape[-1] == 1 else nn.Dense(
             1, dtype=self.dtype)(h).squeeze(-1)
+        if self.arch.output_activation == "tanh":
+            # bound the frame to the Tanhize range [-1, 1] (the reference
+            # generator's tanh-ranged output, SURVEY.md SS3.4; "linear" is
+            # the unbounded ablation arm — utils/config.py)
+            out = jnp.tanh(out)
         return out.astype(jnp.float32)
 
 
@@ -244,6 +249,22 @@ class VAWGAN(nn.Module):
                 "d_real": self.critic(x, y), "d_fake": self.critic(xh, y)}
 
 
+def check_d2s_impl(arch: Architecture, platform: str) -> None:
+    """Fail fast on TPU-incompatible kernel opt-ins (before any compile).
+
+    d2s_impl="pallas" compiles only off-TPU: Mosaic rejects both store
+    formulations of ops/pallas_d2s.py on real hardware (measured negative,
+    docs/PERFORMANCE.md item 5) — without this guard the user discovers
+    that as a cryptic Mosaic error after a multi-minute remote compile.
+    """
+    if arch.d2s_impl == "pallas" and platform in ("tpu", "axon"):
+        raise ValueError(
+            "d2s_impl='pallas' is unsupported on TPU hardware: Mosaic "
+            "rejects the kernel's store formulations (measured negative, "
+            "docs/PERFORMANCE.md item 5); the kernel is an interpreter-"
+            "mode test artifact. Use d2s_impl='xla' on TPU.")
+
+
 def make_model(arch: Architecture, dtype: Dtype | None = None) -> nn.Module:
     registry = {"VAE": CVAE, "VAWGAN": VAWGAN}
     try:
@@ -251,6 +272,15 @@ def make_model(arch: Architecture, dtype: Dtype | None = None) -> nn.Module:
     except KeyError as e:
         raise KeyError(f"unknown model {arch.model!r}; "
                        f"known: {sorted(registry)}") from e
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = ""
+    check_d2s_impl(arch, platform)
+    if arch.output_activation not in ("tanh", "linear"):
+        raise ValueError(f"unknown output_activation "
+                         f"{arch.output_activation!r}; "
+                         "expected 'tanh' | 'linear'")
     if dtype is None:
         dtype = {"float32": jnp.float32,
                  "bfloat16": jnp.bfloat16}[arch.compute_dtype]

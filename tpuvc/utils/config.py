@@ -93,6 +93,15 @@ class Architecture:
     #   (SURVEY.md SS2.1 writes `_discriminate(x, y?)`: the reference's
     #   critic signature takes only x, so False is the parity default; the
     #   flag enables y-conditioning for ablation — see docs/STATUS.md)
+    output_activation: str = "tanh"       # decoder's final nonlinearity:
+    #   "tanh" bounds the generated frame to the Tanhize range [-1, 1]
+    #   (the reference generator ends in a tanh-ranged normalized log-SP
+    #   frame, SURVEY.md SS3.4); "linear" is the unbounded ablation arm.
+    #   Either way conversion clips u before de-normalization
+    #   (convert/pipeline._denormalize_sp), so OOD decoder output can
+    #   never extrapolate log-SP past the corpus max and blow up
+    #   synthesis power.  Chosen on evidence: see scale_validation.json
+    #   "output_activation_ab" (30k-step resident A/B).
     lrelu_slope: float = 0.2
     compute_dtype: str = "float32"        # "bfloat16" for TPU inference
     conv_impl: str = "xla"                # "pallas": fused conv+LN+lrelu
@@ -100,15 +109,18 @@ class Architecture:
     #   from the xla impl, so pick per run, not per checkpoint)
     d2s_impl: str = "xla"                 # "pallas": fused depth-to-space
     #   + LN + lrelu in the decoder's subpixel layers (ops/pallas_d2s.py;
-    #   LN parameter names differ from the xla impl, so pick per run)
+    #   LN parameter names differ from the xla impl, so pick per run).
+    #   UNSUPPORTED on TPU hardware: Mosaic rejects the kernel's stores
+    #   (docs/PERFORMANCE.md item 5) — make_model fails fast there; the
+    #   kernel remains an interpreter-mode test artifact.
     training: TrainConfig = TrainConfig()
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Architecture":
         kw: dict[str, Any] = {}
         for key in ("model", "trainer", "x_dim", "z_dim", "y_dim", "y_emb_dim",
-                    "d_conditional", "lrelu_slope", "compute_dtype",
-                    "conv_impl", "d2s_impl"):
+                    "d_conditional", "output_activation", "lrelu_slope",
+                    "compute_dtype", "conv_impl", "d2s_impl"):
             if key in d:
                 kw[key] = d[key]
         # reference alias: "hwc": [513, 1, 1]
