@@ -57,6 +57,51 @@ def test_wav_roundtrip(tmp_path):
     np.testing.assert_allclose(y, x, atol=1e-4)  # 16-bit quantization + scale
 
 
+def test_resample_preserves_tone_frequency():
+    """8/22.05/44.1 kHz sinusoids land at the same frequency at 16 kHz
+    (the librosa.load input contract, SURVEY.md SS2.2)."""
+    from tpuvc.io.wav import resample
+    f_tone = 440.0
+    for fs_in in (8000, 22050, 44100, 48000):
+        t = np.arange(int(fs_in * 0.5)) / fs_in
+        x = np.sin(2 * np.pi * f_tone * t)
+        y = resample(x, fs_in, 16000)
+        assert abs(len(y) - 8000) <= 1, (fs_in, len(y))
+        # dominant rfft bin maps back to ~440 Hz
+        core = y[1000:-1000]          # skip filter edge transients
+        spec = np.abs(np.fft.rfft(core * np.hanning(len(core))))
+        f_est = np.argmax(spec) * 16000 / len(core)
+        assert abs(f_est - f_tone) < 6.0, (fs_in, f_est)
+        # amplitude survives (passband ~flat)
+        assert 0.9 < np.max(np.abs(core)) < 1.1
+
+
+def test_resample_antialiases_downsampling():
+    """Content above the target Nyquist must be attenuated, not folded."""
+    from tpuvc.io.wav import resample
+    fs_in = 44100
+    t = np.arange(int(fs_in * 0.5)) / fs_in
+    x = np.sin(2 * np.pi * 15000.0 * t)   # above 8 kHz target Nyquist
+    y = resample(x, fs_in, 16000)
+    rms_mid = np.sqrt(np.mean(y[1000:-1000] ** 2))
+    assert rms_mid < 0.01, f"aliased energy rms {rms_mid}"
+
+
+def test_read_wav_target_fs(tmp_path):
+    from tpuvc.io.wav import resample  # noqa: F401 (capability gate)
+    fs_in = 44100
+    t = np.arange(int(fs_in * 0.3)) / fs_in
+    x = 0.5 * np.sin(2 * np.pi * 220.0 * t)
+    p = tmp_path / "hi.wav"
+    write_wav(str(p), x, fs_in)
+    y, fs = read_wav(str(p), target_fs=16000)
+    assert fs == 16000
+    assert abs(len(y) - int(len(x) * 16000 / fs_in)) <= 1
+    # identity path untouched
+    y2, fs2 = read_wav(str(p), target_fs=fs_in)
+    assert fs2 == fs_in and len(y2) == len(x)
+
+
 def test_grain_pipeline_batches():
     import numpy as np
 

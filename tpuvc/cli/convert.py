@@ -124,10 +124,7 @@ def main(argv: list[str] | None = None) -> list[str]:
                 if not fnmatch.fnmatch(os.path.basename(w),
                                        args.file_pattern):
                     continue
-                x, fs = read_wav(w)
-                if fs != converter.cfg.fs:
-                    raise ValueError(f"{w}: sample rate {fs} != "
-                                     f"{converter.cfg.fs}; resample first")
+                x, fs = read_wav(w, target_fs=converter.cfg.fs)
                 utt = os.path.splitext(os.path.basename(w))[0]
                 for trg in speakers:
                     if trg == src:
@@ -164,8 +161,7 @@ def main(argv: list[str] | None = None) -> list[str]:
         from tpuvc.convert.streaming import StreamingConverter
         streamer = lambda x: _stream_one(converter, x, args)  # noqa: E731
     for w in wavs:
-        x, fs = read_wav(w)
-        converter._check_fs(fs)
+        x, fs = read_wav(w, target_fs=converter.cfg.fs)
         if streamer is not None:
             y = streamer(x)
         else:

@@ -56,9 +56,9 @@ def analyze_corpus(corpus_root: str, cfg: WorldConfig = DEFAULT_WORLD,
         for spk in speakers:
             label = corpus_io.speaker_index(speakers, spk)
             for wav_path in corpus_io.list_wavs(corpus_root, split, spk):
-                x, fs = read_wav(wav_path)
-                if fs != cfg.fs:
-                    raise ValueError(f"{wav_path}: fs {fs} != {cfg.fs}")
+                # read_wav resamples to the pipeline rate (the reference's
+                # librosa.load(sr=16000) behavior, SURVEY.md SS2.2)
+                x, fs = read_wav(wav_path, target_fs=cfg.fs)
                 f0, sp, ap = analyze_utterance(x, cfg, bucket_s)
                 log_sp, en = energy_normalize_sp(sp)
                 write_bin(corpus_io.bin_path_for_wav(corpus_root, wav_path),
