@@ -8,8 +8,16 @@ critic's contribution is measured at equal steps.
 
   python scripts/convergence_ab.py [--steps 30000] [--eval_every 5000]
                                    [--platform cpu]  # tiny smoke off-chip
+  python scripts/convergence_ab.py --ab output_activation  # tanh-vs-linear
+                                   # decoder bounding A/B (VERDICT r3 #2)
 
-Appends results to scale_validation.json under "convergence_ab".
+Milestones report conversion MCD plus the sharpness axes (mel-cepstral GV
+ratio and high-band modulation-spectrum ratio vs the target's parallel
+recordings — utils/metrics.py), so the critic is judged on the axis the
+VAW-GAN paper claims (over-smoothing), not MCD alone (VERDICT r3 item 3).
+
+Appends results to scale_validation.json under "convergence_ab" (model
+A/B) or "output_activation_ab".
 """
 
 from __future__ import annotations
@@ -35,6 +43,11 @@ def main() -> None:
     p.add_argument("--n_inner", type=int, default=100)
     p.add_argument("--n_train", type=int, default=50)
     p.add_argument("--platform", default=None)
+    p.add_argument("--ab", default="model",
+                   choices=["model", "output_activation"],
+                   help="which A/B to run: 'model' = VAWGAN vs VAE; "
+                        "'output_activation' = tanh vs linear decoder "
+                        "output on the VAE (VERDICT r3 item 2)")
     args = p.parse_args()
 
     if args.platform:
@@ -67,11 +80,21 @@ def main() -> None:
 
     base = Architecture.load("configs/architecture-vawgan-vcc2016.json")
     results: dict = {"steps": args.steps, "eval_every": args.eval_every,
-                     "models": {}}
-    for model_name, trainer_name in [("VAWGAN", "VAWGANTrainer"),
-                                     ("VAE", "VAETrainer")]:
-        arch = dataclasses.replace(base, model=model_name,
-                                   trainer=trainer_name)
+                     "ab": args.ab, "models": {}}
+    if args.ab == "model":
+        # critic's contribution at equal steps (VERDICT r2 item 5)
+        arms = [("VAWGAN", {"model": "VAWGAN", "trainer": "VAWGANTrainer"}),
+                ("VAE", {"model": "VAE", "trainer": "VAETrainer"})]
+    else:
+        # decoder bounding: reference tanh output vs unbounded linear
+        # (VERDICT r3 item 2; SURVEY.md SS3.4), both arms the VAE so the
+        # activation is the only variable
+        arms = [("tanh", {"model": "VAE", "trainer": "VAETrainer",
+                          "output_activation": "tanh"}),
+                ("linear", {"model": "VAE", "trainer": "VAETrainer",
+                            "output_activation": "linear"})]
+    for model_name, overrides in arms:
+        arch = dataclasses.replace(base, **overrides)
         run_dir = os.path.join(args.logdir, model_name.lower())
         os.makedirs(run_dir, exist_ok=True)
         arch.save(os.path.join(run_dir, "architecture.json"))
@@ -89,9 +112,14 @@ def main() -> None:
                  "--src", "SF1", "--trg", "TM3"]
                 + (["--platform", args.platform] if args.platform else []))
             traj.append({"step": milestone, "mcd_db": ev["mean"],
+                         "gv_ratio_db": ev.get("gv_ratio_db"),
+                         "ms_highband_ratio_db":
+                             ev.get("ms_highband_ratio_db"),
                          "train_wall_s": wall})
             print(f"[conv] {model_name} step {milestone}: "
-                  f"MCD {ev['mean']} dB (wall {wall}s, "
+                  f"MCD {ev['mean']} dB, GV {ev.get('gv_ratio_db')} dB, "
+                  f"MS-hi {ev.get('ms_highband_ratio_db')} dB "
+                  f"(wall {wall}s, "
                   f"metrics { {k: round(v, 3) for k, v in m.items()} })",
                   flush=True)
         trainer.close()
@@ -100,7 +128,9 @@ def main() -> None:
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "scale_validation.json")
     blob = json.load(open(out)) if os.path.exists(out) else {}
-    blob["convergence_ab"] = results
+    key = ("convergence_ab" if args.ab == "model"
+           else "output_activation_ab")
+    blob[key] = results
     json.dump(blob, open(out, "w"), indent=2)
     print(json.dumps(results))
 

@@ -353,3 +353,112 @@ def test_pallas_d2s_ln_lrelu_matches_flax():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=f"{bsz},{l},{c},{s}")
+
+
+def test_pallas_harmonic_dft_matches_stonemask_refine():
+    """One fused kernel pass (interpreter mode) == dsp/stonemask's XLA
+    _refine_once on a harmonic signal (same trig recurrence; differences
+    are reduction-order rounding)."""
+    import jax.numpy as jnp
+
+    from tests.conftest import make_harmonic
+    from tpuvc.dsp.stonemask import (_FFT_SIZE, _refine_once,
+                                     _refine_once_fused)
+    from tpuvc.ops.framing import frame_signal
+
+    fs, hop = 16000, 80
+    x = jnp.asarray(make_harmonic(172.0, fs=fs, dur_s=0.4, n_harm=10,
+                                  noise=0.005), jnp.float32)
+    n = x.shape[0] // hop + 1
+    # a DIO-like track: mostly near truth, some unvoiced-ish values
+    f0 = jnp.asarray(np.where(np.arange(n) % 7 == 3, 0.0, 172.0)
+                     + np.linspace(-2, 2, n), jnp.float32)
+    f0 = jnp.maximum(f0, 0.0)
+    seg = frame_signal(x, hop, _FFT_SIZE, n)
+    ref = np.asarray(_refine_once(seg, f0, fs))
+    got = np.asarray(_refine_once_fused(seg, f0, fs))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-2)
+
+
+def test_pallas_harmonic_dft_matches_harvest_refine():
+    """_refine_and_score_fused (kernel, interpreter mode) == the XLA
+    _refine_and_score, including empty candidate slots (the kernel skips
+    them per tile via lax.cond — results must still agree)."""
+    import jax.numpy as jnp
+
+    from tests.conftest import make_harmonic
+    from tpuvc.dsp.constants import harvest_refine_window
+    from tpuvc.dsp.harvest import (_K, _refine_and_score,
+                                   _refine_and_score_fused)
+
+    fs = 16000
+    x = jnp.asarray(make_harmonic(150.0, fs=fs, dur_s=0.3, n_harm=10,
+                                  noise=0.01), jnp.float32)
+    n_1ms = x.shape[0] * 1000 // fs + 1
+    win = harvest_refine_window(fs, 71.0)
+    floor = 71.0 * 0.9
+    # sparse candidate table: slot 0 near truth, slot 1 an octave error on
+    # some frames, slots 2+ empty (the common shape after channel merge)
+    rng = np.random.default_rng(0)
+    cands = np.zeros((n_1ms, _K), np.float32)
+    cands[:, 0] = 150.0 + rng.uniform(-4, 4, n_1ms)
+    half = n_1ms // 2
+    cands[:half, 1] = 300.0 + rng.uniform(-8, 8, half)
+    cands[::9, 0] = 0.0                      # holes in slot 0 too
+    cands = jnp.asarray(cands)
+
+    r_ref, s_ref = _refine_and_score(x, cands, fs, fs // 1000, n_1ms,
+                                     win, floor)
+    r_got, s_got = _refine_and_score_fused(x, cands, fs, fs // 1000,
+                                           n_1ms, win, floor)
+    r_ref, s_ref, r_got, s_got = map(np.asarray,
+                                     (r_ref, s_ref, r_got, s_got))
+    # empty slots stay empty in both
+    assert (r_got[:, 2:] == 0).all() and (s_got[:, 2:] == 0).all()
+    np.testing.assert_allclose(r_got, r_ref, rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(s_got, s_ref, rtol=2e-2, atol=1e-3)
+
+
+def test_denormalize_clips_out_of_range_decoder_output():
+    """_denormalize_sp clips u to the Tanhize range unconditionally: an
+    OOD decoder frame must never extrapolate log-SP past the corpus max
+    (VERDICT r3 missing #2)."""
+    import jax.numpy as jnp
+
+    from tpuvc.convert.pipeline import _denormalize_sp, _normalize_sp
+
+    xmin = jnp.full((8,), -6.0)
+    xmax = jnp.full((8,), -1.0)
+    en = jnp.ones((3, 1))
+    wild = jnp.asarray([[-5.0] * 8, [5.0] * 8, [0.0] * 8])
+    sp = _denormalize_sp(wild, en, xmin, xmax)
+    sp_lo = _denormalize_sp(jnp.full((1, 8), -1.0), en[:1], xmin, xmax)
+    sp_hi = _denormalize_sp(jnp.full((1, 8), 1.0), en[:1], xmin, xmax)
+    assert np.allclose(np.asarray(sp[0]), np.asarray(sp_lo[0]))
+    assert np.allclose(np.asarray(sp[1]), np.asarray(sp_hi[0]))
+    assert float(sp.max()) <= float(sp_hi.max()) + 1e-6
+    # round trip through normalize stays consistent
+    u, en2 = _normalize_sp(sp_hi, xmin, xmax)
+    assert np.all(np.asarray(u) <= 1.0 + 1e-6)
+
+
+def test_sharpness_metrics_detect_oversmoothing():
+    """GV ratio and high-band modulation-spectrum ratio (utils/metrics)
+    must go strongly negative for time-smoothed envelopes and sit near
+    0 dB for self-comparison (the axes the VAW-GAN critic targets —
+    VERDICT r3 item 3)."""
+    from tpuvc.utils.metrics import gv_ratio_db, ms_highband_ratio_db
+
+    rng = np.random.default_rng(0)
+    t, nb = 400, 513
+    base = np.abs(rng.lognormal(mean=-2.0, sigma=1.0, size=(t, nb)))
+    # "over-smoothed": heavy moving average along time
+    k = 25
+    kernel = np.ones(k) / k
+    smooth = np.apply_along_axis(
+        lambda v: np.convolve(v, kernel, mode="same"), 0, base)
+
+    assert abs(gv_ratio_db(base, base, 16000)) < 1e-6
+    assert abs(ms_highband_ratio_db(base, base, 16000)) < 1e-6
+    assert gv_ratio_db(smooth, base, 16000) < -3.0
+    assert ms_highband_ratio_db(smooth, base, 16000) < -6.0

@@ -85,7 +85,7 @@ def _conversion_mcd(args) -> dict:
     from tpuvc.dsp.constants import DEFAULT_WORLD
     from tpuvc.io import corpus as corpus_io
     from tpuvc.io.wav import read_wav
-    from tpuvc.utils.metrics import mcd
+    from tpuvc.utils.metrics import gv_ratio_db, mcd, ms_highband_ratio_db
 
     if not args.src or not args.trg:
         raise SystemExit("--checkpoint evaluation needs --src and --trg")
@@ -97,6 +97,9 @@ def _conversion_mcd(args) -> dict:
     if args.limit:
         src_wavs = src_wavs[: args.limit]
     scores = []
+    ms_ratios = []
+    sp_conv_all: list[np.ndarray] = []
+    sp_trg_all: list[np.ndarray] = []
     for w in src_wavs:
         utt = os.path.basename(w)
         trg_w = w.replace(f"/{args.src}/", f"/{args.trg}/")
@@ -109,10 +112,23 @@ def _conversion_mcd(args) -> dict:
         _, sp_trg, _ = analyze_utterance(xt, cfg)
         n = min(len(sp_conv), len(sp_trg))
         scores.append(mcd(sp_conv[:n], sp_trg[:n], cfg.fs))
+        ms_ratios.append(ms_highband_ratio_db(sp_conv, sp_trg, cfg.fs))
+        sp_conv_all.append(sp_conv)
+        sp_trg_all.append(sp_trg)
+    # sharpness axes (VERDICT r3 item 3 — the over-smoothing measures the
+    # VAW-GAN critic targets; MCD alone cannot see them): GV pools frames
+    # across utterances (a distributional statistic), MS averages
+    # per-utterance high-band ratios
+    gv_db = (gv_ratio_db(np.concatenate(sp_conv_all),
+                         np.concatenate(sp_trg_all), cfg.fs)
+             if sp_conv_all else None)
     result = {"metric": f"conversion MCD {args.src}->{args.trg} vs target "
                         "parallel recording",
               "unit": "dB", "step": int(step),
               "mean": round(float(np.mean(scores)), 3) if scores else None,
+              "gv_ratio_db": round(gv_db, 3) if gv_db is not None else None,
+              "ms_highband_ratio_db": (round(float(np.mean(ms_ratios)), 3)
+                                       if ms_ratios else None),
               "n_utterances": len(scores)}
     print(json.dumps(result))
     return result
