@@ -28,6 +28,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvc-jax-cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running (multi-process / subprocess) tests")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
