@@ -230,6 +230,63 @@ _REFINE_CHUNK = 128
 _CHANNEL_BLOCK = 152
 
 
+def _refine_and_score_fused(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
+                            hop_1ms: int, n_1ms: int, win: int,
+                            floor: float
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Kernel-backed twin of _refine_and_score (ops/pallas_harmonics.py).
+
+    One fused VMEM pass per refinement phase replaces the lax.map +
+    [chunk, K, W] materialization: the kernel re-reads each frame tile
+    from VMEM for every candidate slot instead of XLA re-reading the
+    [N, K, W] operands from HBM for every harmonic (the round-3 roofline
+    put this stage at 47% of the harvest call, bandwidth-bound).  Empty
+    candidate slots (most of K=10 — merged regions fill slots in
+    ascending order) are skipped per frame tile inside the kernel, so
+    cost tracks the REAL candidate count without top-k approximation.
+    Same numbers as the XLA path to reduction-order rounding
+    (tests/test_ops.py; oracle parity pins the end-to-end track).
+    """
+    from tpuvc.ops.pallas_harmonics import harmonic_dft_pallas, use_pallas
+    from tpuvc.ops.framing import frame_signal
+    interp = not use_pallas()
+    hh = jnp.arange(1, STONEMASK_NUM_HARMONICS + 1, dtype=jnp.float32)
+    seg = frame_signal(x, hop_1ms, win, n_1ms)              # [N, W]
+
+    valid = cands > 0.0
+    f0_1 = jnp.where(valid, jnp.maximum(cands, floor), 0.0)
+    xre, xim, dre, dim_, _ = harmonic_dft_pallas(
+        seg, f0_1, fs, n_harm=STONEMASK_NUM_HARMONICS, with_if=True,
+        skip_empty=True, interpret=interp)
+    f0c = jnp.maximum(f0_1, floor)[..., None]
+    power = xre * xre + xim * xim + 1e-20
+    amps = jnp.where(hh * f0c < fs / 2.0, jnp.sqrt(power), 0.0)
+    ifs = hh * f0c + (xre * dim_ - xim * dre) / power * (
+        fs / (2.0 * jnp.pi))
+    num = jnp.sum(amps * ifs / hh, axis=-1)
+    den = jnp.sum(amps, axis=-1)
+    refined = jnp.where(den > 0.0, num / jnp.maximum(den, 1e-12), 0.0)
+    ok = (valid & (refined > 0.0)
+          & (jnp.abs(refined - cands)
+             <= HARVEST_REFINE_LIMIT * jnp.maximum(cands, 1e-12)))
+
+    rf = jnp.where(ok, jnp.maximum(refined, floor), 0.0)
+    xre2, xim2, _, _, energy = harmonic_dft_pallas(
+        seg, rf, fs, n_harm=STONEMASK_NUM_HARMONICS, with_if=False,
+        skip_empty=True, interpret=interp)
+    rfc = jnp.maximum(rf, floor)[..., None]
+    power2 = xre2 * xre2 + xim2 * xim2 + 1e-20
+    amps2 = jnp.where(hh * rfc < fs / 2.0, jnp.sqrt(power2), 0.0)
+    hw = jnp.floor(1.5 * fs / jnp.maximum(rf, floor) + 1.0)
+    winlen = 2.0 * hw + 1.0
+    fft_size = jnp.exp2(2.0 + jnp.ceil(jnp.log2(winlen)))
+    total = jnp.sqrt(fft_size * energy / 2.0 + 1e-30)
+    a1 = amps2[..., 0]
+    a2 = amps2[..., 1]
+    score = (jnp.sum(amps2, axis=-1) / total) * (a1 / (a1 + a2 + 1e-30))
+    return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
+
+
 def _refine_and_score(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
                       hop_1ms: int, n_1ms: int, win: int, floor: float
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -468,8 +525,11 @@ def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
 
     merged_v, _ = _merge_channels(cand, dev)                 # [N, K]
     win = harvest_refine_window(fs, f0_floor)
-    refined, scores = _refine_and_score(x, merged_v, fs, fs // 1000,
-                                        n_1ms, win, floor)
+    from tpuvc.ops.pallas_harmonics import harmonics_impl
+    refine_fn = (_refine_and_score_fused if harmonics_impl() == "pallas"
+                 else _refine_and_score)
+    refined, scores = refine_fn(x, merged_v, fs, fs // 1000,
+                                n_1ms, win, floor)
 
     best = jnp.argmax(scores, axis=-1)
     f0 = jnp.take_along_axis(refined, best[:, None], axis=-1)[:, 0]

@@ -104,15 +104,41 @@ def _refine_once(raw_seg: jnp.ndarray, f0: jnp.ndarray,
     return jnp.where(den > 0, num / jnp.maximum(den, 1e-12), f0)
 
 
+def _refine_once_fused(raw_seg: jnp.ndarray, f0: jnp.ndarray,
+                       fs: int) -> jnp.ndarray:
+    """Kernel-backed twin of _refine_once: one VMEM pass computes window +
+    trig + all 24 harmonic reductions (ops/pallas_harmonics.py), then the
+    IF average runs on the tiny [N, H] outputs.  Same formulation — the
+    trig recurrence and gating match _refine_once to reduction-order
+    rounding (equivalence pinned by tests/test_ops.py)."""
+    from tpuvc.ops.pallas_harmonics import harmonic_dft_pallas, use_pallas
+    f0s = jnp.maximum(f0, 1.0)
+    xre, xim, dre, dim_, _ = harmonic_dft_pallas(
+        raw_seg, f0s[:, None], fs, n_harm=STONEMASK_NUM_HARMONICS,
+        with_if=True, interpret=not use_pallas())
+    xre, xim, dre, dim_ = (a[:, 0] for a in (xre, xim, dre, dim_))
+    hh = jnp.arange(1, STONEMASK_NUM_HARMONICS + 1, dtype=jnp.float32)
+    power = xre * xre + xim * xim + 1e-12
+    inst = hh * f0s[:, None] + (xre * dim_ - xim * dre) / power * (
+        fs / (2.0 * jnp.pi))
+    amp = jnp.where(hh * f0s[:, None] < fs / 2.0, jnp.sqrt(power), 0.0)
+    num = jnp.sum(amp * inst / hh, axis=-1)
+    den = jnp.sum(amp, axis=-1)
+    return jnp.where(den > 0, num / jnp.maximum(den, 1e-12), f0)
+
+
 @functools.partial(jax.jit, static_argnames=("hop", "fs"))
 def stonemask(x: jnp.ndarray, f0: jnp.ndarray, hop: int = DEFAULT_WORLD.hop,
               fs: int = DEFAULT_WORLD.fs) -> jnp.ndarray:
     """Refine a DIO f0 track. x: [T]; f0: [N]; frame i centered at i*hop."""
+    from tpuvc.ops.pallas_harmonics import harmonics_impl
     x = x.astype(jnp.float32)
     f0 = f0.astype(jnp.float32)
     raw_seg = frame_signal(x, hop, _FFT_SIZE, f0.shape[0])
-    refined = _refine_once(raw_seg, f0, fs)
-    refined = _refine_once(raw_seg, refined, fs)
+    refine = (_refine_once_fused if harmonics_impl() == "pallas"
+              else _refine_once)
+    refined = refine(raw_seg, f0, fs)
+    refined = refine(raw_seg, refined, fs)
     rel = jnp.abs(refined - f0) / jnp.maximum(f0, 1e-6)
     good = (f0 > 0) & (rel <= STONEMASK_RELATIVE_LIMIT) & (refined > 0)
     return jnp.where(f0 > 0, jnp.where(good, refined, f0), 0.0)

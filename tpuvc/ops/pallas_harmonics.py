@@ -1,0 +1,207 @@
+"""Pallas TPU kernel: fused pitch-adaptive harmonic DFT evaluation.
+
+The instantaneous-frequency refinement shared by StoneMask and Harvest
+(dsp/stonemask.py, dsp/harvest.py — SURVEY.md SS2.3 N1) evaluates, per
+frame and candidate f0: a Blackman window over +-1.5 periods, its
+discrete-derivative window, and the windowed signal's DFT at the first
+H=6 harmonic frequencies (4 reductions per harmonic: Re/Im of spectrum
+and derivative spectrum), plus the windowed energy.
+
+Why a kernel: in XLA the 24 reduction outputs cannot live in one fusion —
+the compiler materializes the four [N, W] operands (windowed signal,
+derivative product, cos/sin recurrence state) behind an
+optimization_barrier and re-reads them for every harmonic's reduce fusion
+(~6x HBM round trips per pass; the round-3 roofline put Harvest's
+refinement at 47% of the whole call and StoneMask's two passes at
+~26 ms/call, both bandwidth-bound on exactly this re-read traffic).
+Here one VMEM-resident program reads each frame tile ONCE, computes
+window + trig + all reductions in registers/VMEM, and writes only the
+[T, K*H] results — HBM traffic drops from ~10 passes over [N, W] to one.
+
+Harvest refines K=10 merged candidate slots per frame but most slots are
+empty (regions are capped at K; typical voiced frames carry 1-4).  The
+kernel skips a slot for a whole frame tile via lax.cond when NO row in
+the tile has a candidate there — a data-adaptive K that preserves
+exactness (unlike top-k pre-ranking, every real candidate is refined).
+
+Falls back to the XLA formulation off-TPU; tests run the kernel in
+interpreter mode and check equivalence (tests/test_ops.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuvc.ops.pallas_window import use_pallas
+
+_TILE = 32   # frames per program: [32, 1024] f32 seg = 128 KB; ~14 live
+#   [T, W] temps per candidate slot ~ 1.8 MB VMEM — comfortably resident
+
+
+def harmonics_impl() -> str:
+    """Which implementation the IF-refinement call sites should use.
+
+    "pallas" on TPU hardware unless TPUVC_HARMONICS=xla (stage A/B
+    switch); "xla" elsewhere (the kernel runs only in tests' interpreter
+    mode off-TPU).
+    """
+    import os
+    forced = os.environ.get("TPUVC_HARMONICS")
+    if forced in ("xla", "pallas"):
+        return forced
+    return "pallas" if use_pallas() else "xla"
+
+
+def _slot(seg, base, f0, fs, n_harm, with_if, w):
+    """All reductions for one candidate column: f0 [T, 1] > 0."""
+    half_len = jnp.floor(1.5 * fs / f0 + 1.0)
+    mask = jnp.abs(base) <= half_len
+    phase = (2.0 * jnp.pi / (3.0 * fs)) * f0 * base
+    cp = jnp.cos(phase)
+    sp = jnp.sin(phase)
+    win = jnp.where(mask,
+                    0.42 + 0.5 * cp + 0.08 * (2.0 * cp * cp - 1.0), 0.0)
+    segm = jnp.where(mask, seg, 0.0)
+    xw = segm * win
+    en = jnp.sum(xw * xw, axis=-1, keepdims=True)            # [T, 1]
+    if with_if:
+        # dwin[i] = -0.5 * (win[i+1] - win[i-1]), zero at both ends —
+        # the ends are circular-roll wraparounds, masked off to match
+        # the XLA path's zero padding (dsp/stonemask.py _refine_once)
+        col = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+        edge = (col == 0) | (col == w - 1)
+        # pltpu.roll needs a non-negative shift: roll by w-1 == shift -1
+        dwin = jnp.where(edge, 0.0,
+                         -0.5 * (pltpu.roll(win, w - 1, axis=1)
+                                 - pltpu.roll(win, 1, axis=1)))
+        xd = segm * dwin
+    # cos/sin(h * 3*phase) by triple angle + angle addition (all trig in
+    # the pass derives from the one cp/sp pair — same recurrence as the
+    # XLA path, so results match to reduction-order rounding)
+    c1 = cp * (4.0 * cp * cp - 3.0)
+    s1 = sp * (3.0 - 4.0 * sp * sp)
+    ch, sh = c1, s1
+    xre, xim, dre, dim_ = [], [], [], []
+    for h in range(n_harm):
+        if h:
+            ch, sh = ch * c1 - sh * s1, sh * c1 + ch * s1
+        xre.append(jnp.sum(xw * ch, axis=-1, keepdims=True))
+        xim.append(-jnp.sum(xw * sh, axis=-1, keepdims=True))
+        if with_if:
+            dre.append(jnp.sum(xd * ch, axis=-1, keepdims=True))
+            dim_.append(-jnp.sum(xd * sh, axis=-1, keepdims=True))
+    cat = lambda v: jnp.concatenate(v, axis=1)               # [T, H]
+    if with_if:
+        return cat(xre), cat(xim), cat(dre), cat(dim_), en
+    z = jnp.zeros_like(xre[0])
+    return cat(xre), cat(xim), z, z, en
+
+
+def _kernel(f0_ref, seg_ref, xre_ref, xim_ref, dre_ref, dim_ref, en_ref,
+            *, fs: float, w: int, k_slots: int, n_harm: int,
+            with_if: bool, skip_empty: bool):
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    base = (col - w // 2).astype(jnp.float32)
+    seg = seg_ref[:]
+    h = n_harm
+    for k in range(k_slots):
+        f0k = f0_ref[:, k: k + 1]                            # [T, 1]
+        f0c = jnp.maximum(f0k, 1.0)
+
+        def compute(_):
+            return _slot(seg, base, f0c, fs, n_harm, with_if, w)
+
+        if skip_empty:
+            t = seg.shape[0]
+
+            def empty(_):
+                zh = jnp.zeros((t, n_harm), jnp.float32)
+                return zh, zh, (zh if with_if
+                                else jnp.zeros((t, 1), jnp.float32)), \
+                    (zh if with_if else jnp.zeros((t, 1), jnp.float32)), \
+                    jnp.zeros((t, 1), jnp.float32)
+
+            # slot k has no candidate anywhere in this tile (merged
+            # regions fill slots in order, so high slots are usually
+            # empty) -> skip the whole [T, W] pass for it
+            xre, xim, dre, dim_, en = jax.lax.cond(
+                jnp.any(f0k > 0.0), compute, empty, 0)
+        else:
+            xre, xim, dre, dim_, en = compute(0)
+        xre_ref[:, k * h:(k + 1) * h] = xre
+        xim_ref[:, k * h:(k + 1) * h] = xim
+        if with_if:
+            dre_ref[:, k * h:(k + 1) * h] = dre
+            dim_ref[:, k * h:(k + 1) * h] = dim_
+        en_ref[:, k: k + 1] = en
+    if not with_if:
+        # placeholder outputs (discarded by the wrapper): write anyway so
+        # interpret mode never returns uninitialized memory
+        dre_ref[:] = jnp.zeros_like(dre_ref)
+        dim_ref[:] = jnp.zeros_like(dim_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "n_harm", "with_if",
+                                             "skip_empty", "interpret"))
+def harmonic_dft_pallas(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
+                        n_harm: int = 6, with_if: bool = True,
+                        skip_empty: bool = False, interpret: bool = False):
+    """Fused windowed harmonic DFT for all frames and candidate slots.
+
+    seg [N, W] raw frame-centered samples (W a lane multiple); f0 [N, K]
+    candidate frequencies (<= 0 marks an empty slot; computed values for
+    empty slots are unspecified when ``skip_empty`` — mask downstream).
+    Returns (x_re, x_im, d_re, d_im, energy): x_* [N, K, n_harm], energy
+    [N, K].  d_* are zeros when ``with_if`` is False.
+    """
+    n, w = seg.shape
+    k_slots = f0.shape[-1]
+    pad = (-n) % _TILE
+    seg_p = jnp.pad(seg.astype(jnp.float32), ((0, pad), (0, 0)))
+    f0_p = jnp.pad(f0.astype(jnp.float32), ((0, pad), (0, 0)))
+    np_ = n + pad
+    grid = (np_ // _TILE,)
+    kh = k_slots * n_harm
+    d_shape = (np_, kh) if with_if else (np_, 1)
+    xre, xim, dre, dim_, en = pl.pallas_call(
+        functools.partial(_kernel, fs=float(fs), w=w, k_slots=k_slots,
+                          n_harm=n_harm, with_if=with_if,
+                          skip_empty=skip_empty),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE, k_slots), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TILE, kh), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, kh), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, d_shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, d_shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, k_slots), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, kh), jnp.float32),
+            jax.ShapeDtypeStruct((np_, kh), jnp.float32),
+            jax.ShapeDtypeStruct(d_shape, jnp.float32),
+            jax.ShapeDtypeStruct(d_shape, jnp.float32),
+            jax.ShapeDtypeStruct((np_, k_slots), jnp.float32),
+        ],
+        interpret=interpret,
+    )(f0_p, seg_p)
+    shp = (n, k_slots, n_harm)
+    out_d = (dre[:n].reshape(shp), dim_[:n].reshape(shp)) if with_if \
+        else (None, None)
+    return (xre[:n].reshape(shp), xim[:n].reshape(shp), *out_d,
+            en[:n])
