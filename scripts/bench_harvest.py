@@ -71,10 +71,12 @@ def main() -> None:
     times = sorted(_pipelined_inline(convert, args, 6, 2) for _ in range(5))
     best = times[len(times) // 2]
     audio_seconds = batch * dur_s
+    from tpuvc.ops.pallas_harmonics import harmonics_impl
     print(json.dumps({
         "metric": "harvest-path conversion throughput (single chip)",
         "value": round(audio_seconds / best, 2),
         "unit": "x realtime",
+        "harmonics_impl": harmonics_impl(),
         "batch": batch, "utterance_s": dur_s,
         "wall_s_per_call": round(best, 4),
         "spread": [round(times[0], 4), round(times[-1], 4)],

@@ -118,3 +118,22 @@ def test_ulaw8_transfer_encoding_matches_float32(converter):
     yb_u = cu.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
     yb_f = c.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
     assert np.abs(yb_u - np.clip(yb_f, -1.0, 1.0)).max() < 0.03
+
+
+def test_pcm12_transfer_encoding_matches_float32(converter):
+    """Converter(transfer_encoding='pcm12') == float32 path within the
+    12-bit quantization half-step (round 4: the quality middle ground
+    between int16 and the mu-law cliff — VERDICT r3 item 8b)."""
+    cfg = DEFAULT_WORLD
+    c = converter
+    cp = Converter(c.model, c.params, c.assets, cfg, bucket_s=1.0,
+                   transfer_encoding="pcm12")
+    x = make_harmonic(160.0, fs=cfg.fs, dur_s=1.0, n_harm=8, noise=0.003)
+    y_f = c.convert(x.astype(np.float32), "A", "B", seed=3)
+    y_p = cp.convert(x.astype(np.float32), "A", "B", seed=3)
+    assert y_p.shape == y_f.shape
+    ref = np.clip(y_f, -1.0, 1.0)
+    assert np.abs(y_p - ref).max() <= 0.5 / 2047.0 + 1e-6
+    yb_p = cp.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
+    yb_f = c.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
+    assert np.abs(yb_p - np.clip(yb_f, -1.0, 1.0)).max() <= 0.5 / 2047.0 + 1e-6

@@ -96,11 +96,12 @@ def main(argv: list[str] | None = None) -> list[str]:
                    help="shard batched (--all_pairs) conversion over all "
                         "local devices (DP serving, SURVEY.md SS2.4)")
     p.add_argument("--transfer-encoding", default="float32",
-                   choices=["float32", "ulaw8"],
-                   help="device->host waveform encoding: ulaw8 encodes to "
-                        "8-bit mu-law on device (~4x smaller transfer, "
-                        "~37 dB SNR — ops/ulaw.py) for bandwidth-limited "
-                        "attachments; written WAVs are 16-bit either way")
+                   choices=["float32", "ulaw8", "pcm12"],
+                   help="device->host waveform encoding for bandwidth-"
+                        "limited attachments (ops/ulaw.py): ulaw8 = 8-bit "
+                        "mu-law (~4x smaller, ~37 dB SNR), pcm12 = packed "
+                        "12-bit PCM (~2.7x smaller, ~61 dB SNR); written "
+                        "WAVs are 16-bit either way")
     add_platform_flag(p)
     args = p.parse_args(argv)
     apply_platform(args)

@@ -126,12 +126,13 @@ class Converter:
     def __init__(self, model, params, assets: ConverterAssets,
                  cfg: WorldConfig = DEFAULT_WORLD, bucket_s: float = 1.0,
                  transfer_encoding: str = "float32"):
-        """``transfer_encoding``: "float32" (default) or "ulaw8" — encode
-        the converted waveform to 8-bit mu-law ON DEVICE and decode on
-        the host, quartering the device->host payload (~37 dB SNR,
-        ops/ulaw.py).  For bandwidth-limited attachments like this
-        sandbox's TCP relay; written WAVs are 16-bit either way."""
-        if transfer_encoding not in ("float32", "ulaw8"):
+        """``transfer_encoding``: "float32" (default), "ulaw8", or
+        "pcm12" — encode the converted waveform ON DEVICE and decode on
+        the host, shrinking the device->host payload for bandwidth-
+        limited attachments like this sandbox's TCP relay (ops/ulaw.py:
+        mu-law 1 B/sample ~37 dB SNR; packed 12-bit 1.5 B/sample ~61 dB).
+        Written WAVs are 16-bit either way."""
+        if transfer_encoding not in ("float32", "ulaw8", "pcm12"):
             raise ValueError(f"unknown transfer_encoding "
                              f"{transfer_encoding!r}")
         self.model = model
@@ -141,16 +142,25 @@ class Converter:
         self.bucket = int(bucket_s * cfg.fs)
         self.transfer_encoding = transfer_encoding
         base = make_convert_fn(model, cfg)
-        if transfer_encoding == "ulaw8":
-            from tpuvc.ops.ulaw import ulaw_encode
-            self._fn = jax.jit(lambda *a: ulaw_encode(base(*a)))
-        else:
-            self._fn = base
+        self._fn = jax.jit(lambda *a: self._encode_transfer(base(*a)))
 
-    def _decode_transfer(self, y: np.ndarray) -> np.ndarray:
+    def _encode_transfer(self, y):
+        if self.transfer_encoding == "ulaw8":
+            from tpuvc.ops.ulaw import ulaw_encode
+            return ulaw_encode(y)
+        if self.transfer_encoding == "pcm12":
+            from tpuvc.ops.ulaw import pcm12_encode
+            return pcm12_encode(y)
+        return y
+
+    def _decode_transfer(self, y: np.ndarray,
+                         n_samples: int | None = None) -> np.ndarray:
         if self.transfer_encoding == "ulaw8":
             from tpuvc.ops.ulaw import ulaw_decode
             return ulaw_decode(y)
+        if self.transfer_encoding == "pcm12":
+            from tpuvc.ops.ulaw import pcm12_decode
+            return pcm12_decode(y, n_samples)
         return y
 
     def _pad(self, x: np.ndarray) -> np.ndarray:
@@ -220,12 +230,8 @@ class Converter:
         xs = [self._coerce_fs(x, fs) for x in xs]
         if not hasattr(self, "_batch_fn"):
             base_b = make_batch_convert_fn(self.model, self.cfg)
-            if self.transfer_encoding == "ulaw8":
-                from tpuvc.ops.ulaw import ulaw_encode
-                self._batch_fn = jax.jit(
-                    lambda *a: ulaw_encode(base_b(*a)))
-            else:
-                self._batch_fn = base_b
+            self._batch_fn = jax.jit(
+                lambda *a: self._encode_transfer(base_b(*a)))
         a = self.assets
         self._check_speaker_stats(*[a.speakers.index(s) for s in srcs],
                                   *[a.speakers.index(t) for t in trgs])
@@ -282,7 +288,7 @@ class Converter:
                                put(a.f0_mu[ti[idx]], True),
                                put(a.f0_sigma[ti[idx]], True),
                                put(seeds, True))
-            y = self._decode_transfer(np.asarray(y))
+            y = self._decode_transfer(np.asarray(y), t_pad)
             outs.extend(y[i, :lens[lo + i]] for i in range(hi - lo))
         return outs
 
@@ -299,4 +305,4 @@ class Converter:
                      jnp.float32(a.f0_mu[si]), jnp.float32(a.f0_sigma[si]),
                      jnp.float32(a.f0_mu[ti]), jnp.float32(a.f0_sigma[ti]),
                      jnp.int32(seed))
-        return self._decode_transfer(np.asarray(y))[: len(x)]
+        return self._decode_transfer(np.asarray(y), len(xp))[: len(x)]
