@@ -27,6 +27,10 @@ import numpy as np
 def main() -> None:
     import jax
 
+    if "--platform" in sys.argv:     # e.g. --platform cpu for a dry run
+        i = sys.argv.index("--platform")
+        jax.config.update("jax_platforms", sys.argv[i + 1])
+        del sys.argv[i: i + 2]
     jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvc-jax-cache")
 
     from tpuvc.convert.pipeline import Converter, ConverterAssets
