@@ -35,7 +35,9 @@ def main() -> None:
 
     batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 32
     dur_s = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
-    cfg = dataclasses.replace(DEFAULT_WORLD, f0_method="harvest")
+    decim = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    cfg = dataclasses.replace(DEFAULT_WORLD, f0_method="harvest",
+                              harvest_channel_decim=decim)
     t_samples = int(dur_s * cfg.fs)
 
     arch = Architecture(compute_dtype="bfloat16")
@@ -77,6 +79,7 @@ def main() -> None:
         "value": round(audio_seconds / best, 2),
         "unit": "x realtime",
         "harmonics_impl": harmonics_impl(),
+        "channel_decim": decim,
         "batch": batch, "utterance_s": dur_s,
         "wall_s_per_call": round(best, 4),
         "spread": [round(times[0], 4), round(times[-1], 4)],

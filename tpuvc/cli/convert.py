@@ -22,7 +22,8 @@ from tpuvc.cli.common import add_platform_flag, apply_platform
 
 def load_converter(checkpoint_dir: str, corpus_root: str,
                    f0_method: str = "dio", ap_method: str = "group_delay",
-                   transfer_encoding: str = "float32"):
+                   transfer_encoding: str = "float32",
+                   harvest_decim: int = 1):
     """Build a Converter from a training run dir + corpus etc/ stats."""
     import jax
 
@@ -57,7 +58,8 @@ def load_converter(checkpoint_dir: str, corpus_root: str,
 
     from tpuvc.dsp.constants import DEFAULT_WORLD
     cfg = _dc.replace(DEFAULT_WORLD, f0_method=f0_method,
-                      ap_method=ap_method)
+                      ap_method=ap_method,
+                      harvest_channel_decim=harvest_decim)
     return Converter(model, state.params, assets, cfg=cfg,
                      transfer_encoding=transfer_encoding), step
 
@@ -92,6 +94,11 @@ def main(argv: list[str] | None = None) -> list[str]:
                         "what cli.analyze used for the corpus stats)")
     p.add_argument("--ap-method", default="group_delay",
                    choices=["group_delay", "nccf"])
+    p.add_argument("--harvest-decim", type=int, default=1,
+                   help="harvest fast mode: candidate filterbank at "
+                        "1/(40/decim)-octave spacing (2 ~halves the two "
+                        "dominant harvest stages; accuracy cost measured "
+                        "small — tests/test_f0.py); 1 = exact WORLD layout")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batched (--all_pairs) conversion over all "
                         "local devices (DP serving, SURVEY.md SS2.4)")
@@ -111,7 +118,8 @@ def main(argv: list[str] | None = None) -> list[str]:
 
     converter, step = load_converter(args.checkpoint, args.corpus,
                                      args.f0_method, args.ap_method,
-                                     args.transfer_encoding)
+                                     args.transfer_encoding,
+                                     args.harvest_decim)
     split = (corpus_io.TEST_SPLIT if args.split == "test"
              else corpus_io.TRAIN_SPLIT)
     out_dir = args.output or os.path.join(args.checkpoint, "converted")

@@ -76,7 +76,8 @@ def make_convert_fn(model, cfg: WorldConfig = DEFAULT_WORLD,
         # --- analysis (SURVEY.md SS3.1; honors cfg.f0_method/ap_method) ---
         if cfg.f0_method == "harvest":
             f0 = harvest(x, fs=cfg.fs, hop=cfg.hop, f0_floor=cfg.f0_floor,
-                         f0_ceil=cfg.f0_ceil)
+                         f0_ceil=cfg.f0_ceil,
+                         channel_decim=cfg.harvest_channel_decim)
         else:
             f0_c = dio(x, fs=cfg.fs, hop=cfg.hop, f0_floor=cfg.f0_floor,
                        f0_ceil=cfg.f0_ceil)

@@ -176,6 +176,12 @@ class WorldConfig:
     f0_method: str = "dio"  # "dio" (+ StoneMask refinement, the reference
     #   wav2pw default) or "harvest" (pyworld's alternative estimator;
     #   already IF-refined internally, so StoneMask is skipped)
+    harvest_channel_decim: int = 1  # >1 = coarser candidate filterbank
+    #   (1/(40/decim) octave spacing): the band bank + event tracks —
+    #   harvest's two dominant stages — shrink by the same factor; the
+    #   +-20% IF refinement re-centers candidates, so measured accuracy
+    #   cost is small (tests/test_f0.py).  1 = exact WORLD layout
+    #   (default, the oracle-parity configuration).
 
     @property
     def hop(self) -> int:

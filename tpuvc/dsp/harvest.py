@@ -467,14 +467,27 @@ def _smooth(f0: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fs", "hop", "f0_floor", "f0_ceil"))
+                   static_argnames=("fs", "hop", "f0_floor", "f0_ceil",
+                                    "channel_decim"))
 def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
             hop: int = DEFAULT_WORLD.hop,
             f0_floor: float = DEFAULT_WORLD.f0_floor,
-            f0_ceil: float = DEFAULT_WORLD.f0_ceil) -> jnp.ndarray:
+            f0_ceil: float = DEFAULT_WORLD.f0_ceil,
+            channel_decim: int = 1) -> jnp.ndarray:
     """Estimate f0 for every frame of ``x``; 0 Hz marks unvoiced frames.
 
     Args: x [T] waveform at rate fs.  Returns [T//hop + 1] f0 in Hz.
+
+    ``channel_decim`` > 1 runs the candidate-generation filterbank at
+    1/(40/decim) octaves instead of WORLD's 1/40 (VERDICT r3 item 1's
+    suggested coarsening): the band bank and the four event-interval
+    tracks — the two dominant stages of the call — shrink by the same
+    factor, and the IF refinement (+-20% capture range, far wider than
+    the coarser 1/20-octave channel spacing) pulls the surviving
+    candidates to the same frequencies.  Accuracy cost measured on the
+    speech-shaped truth fixtures in tests/test_f0.py
+    (test_harvest_channel_decim_accuracy); 1 = exact WORLD layout, the
+    default and the oracle-parity configuration.
     """
     if fs % 1000:
         raise ValueError(f"harvest needs fs divisible by 1000, got {fs}")
@@ -496,6 +509,8 @@ def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
     y = y - jnp.mean(y)
 
     bfs_t = _boundary_f0s(f0_floor, f0_ceil)
+    if channel_decim > 1:
+        bfs_t = bfs_t[::channel_decim]
     filtered = filters.bandpass_bank_fft(y, fs_d, bfs_t)     # [C, Td]
 
     hop_1ms_d = fs_d // 1000
@@ -553,5 +568,7 @@ def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
 
 def harvest_config(x: jnp.ndarray,
                    cfg: WorldConfig = DEFAULT_WORLD) -> jnp.ndarray:
-    return harvest(x, fs=cfg.fs, hop=cfg.hop, f0_floor=cfg.f0_floor,
+    return harvest(x, fs=cfg.fs, hop=cfg.hop,
+                   channel_decim=cfg.harvest_channel_decim,
+                   f0_floor=cfg.f0_floor,
                    f0_ceil=cfg.f0_ceil)

@@ -32,13 +32,15 @@ class WorldFeatures(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("fs", "hop", "fft_size", "f0_floor",
-                                    "f0_ceil", "f0_method", "ap_method"))
+                                    "f0_ceil", "f0_method", "ap_method",
+                                    "harvest_decim"))
 def _analyze(x, fs, hop, fft_size, f0_floor, f0_ceil, f0_method="dio",
-             ap_method="group_delay"):
+             ap_method="group_delay", harvest_decim=1):
     if f0_method == "harvest":
         # Harvest refines by instantaneous frequency internally — WORLD's
         # harvest path does not run StoneMask after it
-        f0 = harvest(x, fs=fs, hop=hop, f0_floor=f0_floor, f0_ceil=f0_ceil)
+        f0 = harvest(x, fs=fs, hop=hop, f0_floor=f0_floor, f0_ceil=f0_ceil,
+                     channel_decim=harvest_decim)
     elif f0_method == "dio":
         f0_coarse = dio(x, fs=fs, hop=hop, f0_floor=f0_floor,
                         f0_ceil=f0_ceil)
@@ -55,7 +57,7 @@ def analyze(x: jnp.ndarray,
     """Full analysis of one utterance: f0 + envelope + aperiodicity."""
     return _analyze(jnp.asarray(x, jnp.float32), cfg.fs, cfg.hop,
                     cfg.fft_size, cfg.f0_floor, cfg.f0_ceil,
-                    cfg.f0_method, cfg.ap_method)
+                    cfg.f0_method, cfg.ap_method, cfg.harvest_channel_decim)
 
 
 def analyze_batch(xs: jnp.ndarray,
@@ -64,7 +66,8 @@ def analyze_batch(xs: jnp.ndarray,
     fn = functools.partial(_analyze, fs=cfg.fs, hop=cfg.hop,
                            fft_size=cfg.fft_size, f0_floor=cfg.f0_floor,
                            f0_ceil=cfg.f0_ceil, f0_method=cfg.f0_method,
-                           ap_method=cfg.ap_method)
+                           ap_method=cfg.ap_method,
+                           harvest_decim=cfg.harvest_channel_decim)
     return jax.vmap(fn)(jnp.asarray(xs, jnp.float32))
 
 
