@@ -462,3 +462,30 @@ def test_sharpness_metrics_detect_oversmoothing():
     assert abs(ms_highband_ratio_db(base, base, 16000)) < 1e-6
     assert gv_ratio_db(smooth, base, 16000) < -3.0
     assert ms_highband_ratio_db(smooth, base, 16000) < -6.0
+
+
+def test_pallas_harmonic_dft_under_vmap():
+    """The batched convert graph calls the fused refinement under
+    jax.vmap: vmapped kernel results must equal per-row calls (vmap of
+    pallas_call adds a grid dimension; the in-kernel cond must survive)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.ops.pallas_harmonics import harmonic_dft_pallas
+
+    rng = np.random.default_rng(1)
+    b, n, w, k = 3, 40, 256, 4
+    seg = jnp.asarray(rng.standard_normal((b, n, w)), jnp.float32)
+    f0 = np.zeros((b, n, k), np.float32)
+    f0[:, :, 0] = rng.uniform(100, 300, (b, n))
+    f0[0, : n // 2, 1] = 200.0
+    f0 = jnp.asarray(f0)
+
+    fn = lambda s, f: harmonic_dft_pallas(s, f, 16000, with_if=True,
+                                          skip_empty=True, interpret=True)
+    vm = jax.vmap(fn)(seg, f0)
+    for i in range(b):
+        ref = fn(seg[i], f0[i])
+        for a, r in zip(vm, ref):
+            np.testing.assert_allclose(np.asarray(a[i]), np.asarray(r),
+                                       rtol=1e-5, atol=1e-6)
