@@ -46,15 +46,19 @@ _TILE = 32   # frames per program: [32, 1024] f32 seg = 128 KB; ~14 live
 def harmonics_impl() -> str:
     """Which implementation the IF-refinement call sites should use.
 
-    "pallas" on TPU hardware unless TPUVC_HARMONICS=xla (stage A/B
-    switch); "xla" elsewhere (the kernel runs only in tests' interpreter
-    mode off-TPU).
+    Default "xla" everywhere until the kernel carries an on-chip
+    measurement (the XLA path's numbers are round-3-proven; a Mosaic
+    lowering surprise on real hardware must not take down the default
+    convert graph — cf. the pallas_d2s negative result).  Set
+    TPUVC_HARMONICS=pallas to enable the fused kernel on TPU (the stage
+    A/B switch used by scripts/bench_harmonics.py); off-TPU the kernel
+    only runs in the tests' interpreter mode.
     """
     import os
     forced = os.environ.get("TPUVC_HARMONICS")
     if forced in ("xla", "pallas"):
-        return forced
-    return "pallas" if use_pallas() else "xla"
+        return forced   # honored verbatim (off-TPU pallas = interpreter)
+    return "xla"
 
 
 def _slot(seg, base, f0, fs, n_harm, with_if, w):
