@@ -122,8 +122,8 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
     """
     d = sig[1:] - sig[:-1]
 
-    def crossings(s, sign, offset):
-        m = (sign * s[:-1] > 0) & (sign * s[1:] <= 0)
+    def crossings(s, offset):
+        m = (s[:-1] > 0) & (s[1:] <= 0)
         frac = jnp.where(m, s[:-1] / jnp.where(m, s[:-1] - s[1:], 1.0), 0.0)
         tpos = jnp.arange(s.shape[0] - 1, dtype=jnp.float32) + frac + offset
         ncells = s.shape[0] - 1
@@ -193,12 +193,21 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
                                    last, 0.0))
         return jnp.where(valid, interp, edge)
 
-    return jnp.stack([
-        crossings(sig, 1.0, 0.0),      # negative-going zero crossings
-        crossings(sig, -1.0, 0.0),     # positive-going zero crossings
-        crossings(d, 1.0, 0.5),        # peaks (maxima of sig)
-        crossings(d, -1.0, 0.5),       # dips (minima of sig)
-    ])
+    # ONE vectorized pass over all four event types — the sign convention
+    # folds into the data (negation is exact, and frac = s0/(s0-s1) is
+    # negation-invariant bit for bit), and the derivative rows pad one
+    # INERT cell (s0 == s1 -> no crossing under either sign; prefix scans
+    # past it combine with fill, so every value a frame reads is
+    # unchanged) to share the zero-crossing rows' cell count.  Replaces
+    # four sequential crossings() calls: same FLOPs, ~4x fewer XLA
+    # kernels — per-kernel overhead is ~1.5 ms on the target attachment
+    # and this stage was kernel-count-bound (docs/PERFORMANCE.md
+    # round-4; goldens pin bit-exactness).
+    d_p = jnp.concatenate([d, d[-1:]])
+    s_all = jnp.stack([sig, -sig, d_p, -d_p])
+    offs = jnp.asarray([0.0, 0.0, 0.5, 0.5], jnp.float32)
+    return jax.vmap(crossings)(s_all, offs)
+    # rows: negative-going / positive-going zero crossings, peaks, dips
 
 
 def _fix_step_remove_jumps(f0: jnp.ndarray, allowed: float) -> jnp.ndarray:
