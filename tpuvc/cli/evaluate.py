@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> dict:
                         "(VCC2016-style corpora are parallel)")
     p.add_argument("--src", default=None)
     p.add_argument("--trg", default=None)
+    p.add_argument("--f0-method", default="dio", choices=["dio", "harvest"],
+                   help="f0 estimator for the conversion graph (match "
+                        "cli.analyze)")
     add_platform_flag(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -90,7 +93,8 @@ def _conversion_mcd(args) -> dict:
     if not args.src or not args.trg:
         raise SystemExit("--checkpoint evaluation needs --src and --trg")
     cfg = DEFAULT_WORLD
-    converter, step = load_converter(args.checkpoint, args.corpus)
+    converter, step = load_converter(args.checkpoint, args.corpus,
+                                     f0_method=args.f0_method)
     split = (corpus_io.TEST_SPLIT if args.split == "test"
              else corpus_io.TRAIN_SPLIT)
     src_wavs = corpus_io.list_wavs(args.corpus, split, args.src)
