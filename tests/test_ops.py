@@ -489,3 +489,30 @@ def test_pallas_harmonic_dft_under_vmap():
         for a, r in zip(vm, ref):
             np.testing.assert_allclose(np.asarray(a[i]), np.asarray(r),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_mcd_dtw_absorbs_time_warp():
+    """DTW-aligned MCD (the VC-evaluation convention for parallel
+    recordings with different timings) must be ~0 for a time-warped copy
+    of the same envelope sequence, where framewise MCD is large; and
+    equal-alignment identity gives exactly 0."""
+    from tpuvc.utils.metrics import mcd, mcd_dtw
+
+    rng = np.random.default_rng(0)
+    t, nb = 240, 513
+    base = np.abs(rng.lognormal(-2.0, 1.0, (t, nb)))
+    # smooth the trajectory so warping is meaningful (not iid noise)
+    k = np.ones(9) / 9
+    base = np.apply_along_axis(lambda v: np.convolve(v, k, "same"), 0, base)
+    base = np.maximum(base, 1e-8)
+    # identity lands at the quadratic-form cancellation floor (~1e-7),
+    # not exact zero
+    assert mcd_dtw(base, base, 16000) < 1e-5
+    # nonuniform time warp: indices accelerate then decelerate
+    u = np.linspace(0, 1, 300)
+    idx = np.clip((t - 1) * (u + 0.15 * np.sin(np.pi * u)), 0, t - 1)
+    warped = base[np.round(idx).astype(int)]
+    framewise = mcd(base, warped, 16000)
+    aligned = mcd_dtw(base, warped, 16000)
+    assert aligned < 0.35 * framewise, (aligned, framewise)
+    assert aligned < 1.0, aligned

@@ -88,7 +88,8 @@ def _conversion_mcd(args) -> dict:
     from tpuvc.dsp.constants import DEFAULT_WORLD
     from tpuvc.io import corpus as corpus_io
     from tpuvc.io.wav import read_wav
-    from tpuvc.utils.metrics import gv_ratio_db, mcd, ms_highband_ratio_db
+    from tpuvc.utils.metrics import (gv_ratio_db, mcd, mcd_dtw,
+                                     ms_highband_ratio_db)
 
     if not args.src or not args.trg:
         raise SystemExit("--checkpoint evaluation needs --src and --trg")
@@ -101,6 +102,7 @@ def _conversion_mcd(args) -> dict:
     if args.limit:
         src_wavs = src_wavs[: args.limit]
     scores = []
+    dtw_scores = []
     ms_ratios = []
     sp_conv_all: list[np.ndarray] = []
     sp_trg_all: list[np.ndarray] = []
@@ -116,6 +118,7 @@ def _conversion_mcd(args) -> dict:
         _, sp_trg, _ = analyze_utterance(xt, cfg)
         n = min(len(sp_conv), len(sp_trg))
         scores.append(mcd(sp_conv[:n], sp_trg[:n], cfg.fs))
+        dtw_scores.append(mcd_dtw(sp_conv, sp_trg, cfg.fs))
         ms_ratios.append(ms_highband_ratio_db(sp_conv, sp_trg, cfg.fs))
         sp_conv_all.append(sp_conv)
         sp_trg_all.append(sp_trg)
@@ -130,6 +133,8 @@ def _conversion_mcd(args) -> dict:
                         "parallel recording",
               "unit": "dB", "step": int(step),
               "mean": round(float(np.mean(scores)), 3) if scores else None,
+              "mean_dtw": (round(float(np.mean(dtw_scores)), 3)
+                           if dtw_scores else None),
               "gv_ratio_db": round(gv_db, 3) if gv_db is not None else None,
               "ms_highband_ratio_db": (round(float(np.mean(ms_ratios)), 3)
                                        if ms_ratios else None),

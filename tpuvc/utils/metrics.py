@@ -149,3 +149,34 @@ def mcd(sp_a: np.ndarray, sp_b: np.ndarray, fs: int,
     per_frame = (10.0 / _LN10) * np.sqrt(
         2.0 * np.sum(d * d, axis=-1))
     return float(per_frame.mean())
+
+
+def mcd_dtw(sp_a: np.ndarray, sp_b: np.ndarray, fs: int,
+            order: int = 24) -> float:
+    """DTW-aligned mel-cepstral distortion in dB (the convention VC
+    evaluations report for non-time-aligned pairs, e.g. a conversion vs
+    the target speaker's parallel recording, whose timings differ).
+
+    Sakoe-Chiba SYMMETRIC DTW (diagonal steps weighted 2, up/left 1,
+    total normalized by T_a + T_b — the classical normalization whose
+    weight sum is path-independent).  Each DP row vectorizes exactly:
+    the left-step recursion acc[j] = min(m[j], acc[j-1] + d[j]) unrolls
+    to acc[j] = S[j] + min_{k<=j}(m[k] - S[k]) with S the row prefix sum
+    — one cumsum + one running min per row, O(T_a * T_b) total.
+    """
+    ca = mel_cepstrum(sp_a, fs, order)
+    cb = mel_cepstrum(sp_b, fs, order)
+    # per-pair frame distortion in dB: (10/ln10) * sqrt(2 |ca_i - cb_j|^2)
+    sq = (np.sum(ca * ca, axis=1)[:, None]
+          + np.sum(cb * cb, axis=1)[None, :] - 2.0 * (ca @ cb.T))
+    dist = (10.0 / _LN10) * np.sqrt(2.0 * np.maximum(sq, 0.0))
+    ta, tb = dist.shape
+    acc = np.cumsum(dist[0]) + dist[0, 0]    # row 0: left steps only
+    for i in range(1, ta):
+        d = dist[i]
+        diag = np.concatenate(([np.inf], acc[:-1])) + 2.0 * d
+        up = acc + d
+        m = np.minimum(diag, up)
+        s = np.cumsum(d)
+        acc = s + np.minimum.accumulate(m - s)
+    return float(acc[-1] / (ta + tb))
