@@ -112,6 +112,7 @@ def main() -> None:
                  "--src", "SF1", "--trg", "TM3"]
                 + (["--platform", args.platform] if args.platform else []))
             traj.append({"step": milestone, "mcd_db": ev["mean"],
+                         "mcd_dtw_db": ev.get("mean_dtw"),
                          "gv_ratio_db": ev.get("gv_ratio_db"),
                          "ms_highband_ratio_db":
                              ev.get("ms_highband_ratio_db"),

@@ -137,3 +137,36 @@ def test_pcm12_transfer_encoding_matches_float32(converter):
     yb_p = cp.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
     yb_f = c.convert_batch([x.astype(np.float32)], ["A"], ["B"], seed=3)[0]
     assert np.abs(yb_p - np.clip(yb_f, -1.0, 1.0)).max() <= 0.5 / 2047.0 + 1e-6
+
+
+def test_multistream_matches_solo_streaming(converter):
+    """MultiStreamConverter (one batched device call per tick) produces
+    each stream's audio equal to a solo StreamingConverter — including
+    with streams fed at different rates (round 4: serving scale-out of
+    BASELINE config 5)."""
+    from tpuvc.convert.streaming import MultiStreamConverter
+
+    cfg = DEFAULT_WORLD
+    xa = make_harmonic(150.0, fs=cfg.fs, dur_s=3.1, n_harm=8, noise=0.003)
+    xb = make_harmonic(210.0, fs=cfg.fs, dur_s=3.1, n_harm=6, noise=0.004)
+
+    m = MultiStreamConverter(converter, [("A", "B"), ("B", "A")],
+                             chunk_s=1.0, seed=5)
+    outs = [[], []]
+    # ragged feeding: stream 0 in large blocks, stream 1 in small ones
+    for i in range(0, len(xa), 9000):
+        outs[0].append(m.push(0, xa[i: i + 9000]))
+        for j in range(i, min(i + 9000, len(xb)), 3000):
+            outs[1].append(m.push(1, xb[j: j + 3000]))
+    for i, tail in enumerate(m.flush_all()):
+        outs[i].append(tail)
+    got = [np.concatenate(o) for o in outs]
+
+    for x, (src, trg), y_multi, sid in [(xa, ("A", "B"), got[0], 0),
+                                        (xb, ("B", "A"), got[1], 1)]:
+        solo = StreamingConverter(converter, src, trg, chunk_s=1.0,
+                                  seed=5 + 7919 * sid)
+        y_solo = np.concatenate([solo.push(x), solo.flush()])
+        assert y_multi.shape == y_solo.shape
+        # same graph modulo vmap: identical to reassociation rounding
+        np.testing.assert_allclose(y_multi, y_solo, atol=5e-4, rtol=1e-3)

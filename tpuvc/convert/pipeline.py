@@ -211,7 +211,7 @@ class Converter:
     MAX_AUDIO_S_PER_CALL_HARVEST = 128.0
 
     def convert_batch(self, xs: list[np.ndarray], srcs: list[str],
-                      trgs: list[str], seed: int = 0,
+                      trgs: list[str], seed=0,
                       fs: int | None = None, mesh=None) -> list[np.ndarray]:
         """Convert many utterances in batched device calls (vmapped graph).
 
@@ -280,7 +280,10 @@ class Converter:
             rows += [rows[-1]] * pad_b
             idx = np.concatenate([np.arange(lo, hi),
                                   np.full(pad_b, hi - 1, np.int64)])
-            seeds = seed + idx.astype(np.int32)
+            if np.ndim(seed):         # per-utterance seeds (len(xs) array)
+                seeds = np.asarray(seed, np.int32)[idx]
+            else:
+                seeds = seed + idx.astype(np.int32)
             y = self._batch_fn(params, put(np.stack(rows), True),
                                put(ti[idx], True),
                                put(a.xmin, False), put(a.xmax, False),

@@ -105,3 +105,80 @@ class StreamingConverter:
         self._buf = np.zeros(0, np.float32)
         self._tail = np.zeros(0, np.float32)
         return out
+
+
+class MultiStreamConverter:
+    """N concurrent streams batched into ONE device call per tick.
+
+    The serving-side scale-out of the streaming surface (BASELINE
+    config 5): each stream keeps its own (src, trg) pair, crossfade
+    state, and deterministic seed sequence, but whenever any stream has
+    a ready [halo|chunk|halo] window, ALL ready streams convert through
+    the batched vmapped graph in one device call
+    (Converter.convert_batch with per-row seeds) — per-call dispatch
+    cost amortizes over live streams exactly as the batch bench
+    amortizes over utterances.  The batch pads to the full stream count
+    with repeated rows so there is ONE compiled shape regardless of how
+    many streams are ready.
+
+    Per-stream output matches a solo StreamingConverter to vmap
+    reassociation rounding (tests/test_streaming.py).
+    """
+
+    def __init__(self, converter: Converter, pairs, chunk_s: float = 1.0,
+                 halo_s: float = 0.192, seed: int = 0):
+        self.conv = converter
+        self.pairs = list(pairs)
+        self.streams = [
+            StreamingConverter(converter, src, trg, chunk_s=chunk_s,
+                               halo_s=halo_s, seed=seed + 7919 * i)
+            for i, (src, trg) in enumerate(pairs)]
+        self._pending = [np.zeros(0, np.float32) for _ in self.pairs]
+
+    def _tick(self, ready: list[int]) -> None:
+        n = len(self.streams)
+        idx = ready + [ready[-1]] * (n - len(ready))
+        rows, seeds = [], []
+        for i in idx:
+            st = self.streams[i]
+            rows.append(st._buf[: st.chunk + 2 * st.halo])
+            seeds.append(st.seed + st._pos)
+        ys = self.conv.convert_batch(
+            rows, [self.pairs[i][0] for i in idx],
+            [self.pairs[i][1] for i in idx],
+            seed=np.asarray(seeds, np.int32))
+        for j, i in enumerate(ready):
+            st = self.streams[i]
+            st._pos += 1
+            y = np.asarray(ys[j], np.float32)
+            first = st._pos == 1
+            lead = 0 if first else st.halo
+            keep = st.chunk + (st.halo if first else 0)
+            piece = st._emit(y, lead, keep)
+            st._buf = st._buf[st.chunk:]
+            self._pending[i] = np.concatenate([self._pending[i], piece])
+
+    def push(self, stream_id: int, samples: np.ndarray) -> np.ndarray:
+        """Feed one stream; returns that stream's newly ready audio."""
+        st = self.streams[stream_id]
+        st._buf = np.concatenate([st._buf,
+                                  np.asarray(samples, np.float32)])
+        while True:
+            ready = [i for i, s in enumerate(self.streams)
+                     if s._buf.size >= s.chunk + 2 * s.halo]
+            if not ready:
+                break
+            self._tick(ready)
+        out = self._pending[stream_id]
+        self._pending[stream_id] = np.zeros(0, np.float32)
+        return out
+
+    def flush_all(self) -> list[np.ndarray]:
+        """Flush every stream; tail windows are ragged, so they convert
+        through the per-stream single-call path."""
+        outs = []
+        for i, st in enumerate(self.streams):
+            tail = st.flush()
+            outs.append(np.concatenate([self._pending[i], tail]))
+            self._pending[i] = np.zeros(0, np.float32)
+        return outs
