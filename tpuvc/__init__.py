@@ -35,6 +35,9 @@ _EXPORTS = {
     "WorldConfig": ("tpuvc.dsp.constants", "WorldConfig"),
     "Converter": ("tpuvc.convert.pipeline", "Converter"),
     "StreamingConverter": ("tpuvc.convert.streaming", "StreamingConverter"),
+    "MultiStreamConverter": ("tpuvc.convert.streaming",
+                             "MultiStreamConverter"),
+    "resample": ("tpuvc.io.wav", "resample"),
     "Architecture": ("tpuvc.utils.config", "Architecture"),
     "make_model": ("tpuvc.models.vae", "make_model"),
     "make_trainer": ("tpuvc.train.trainer", "make_trainer"),
