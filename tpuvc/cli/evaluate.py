@@ -59,7 +59,7 @@ def main(argv: list[str] | None = None) -> dict:
         raise FileNotFoundError(f"no wavs in {args.corpus} split {split!r}")
     scores = []
     for w in wavs:
-        x, fs = read_wav(w)
+        x, fs = read_wav(w, target_fs=cfg.fs)
         f0, sp, ap = analyze_utterance(x, cfg)
         y = np.asarray(synthesize_config(f0, sp, ap, cfg))[: len(x)]
         f0b, spb, apb = analyze_utterance(y, cfg)
@@ -111,10 +111,10 @@ def _conversion_mcd(args) -> dict:
         trg_w = w.replace(f"/{args.src}/", f"/{args.trg}/")
         if not os.path.exists(trg_w):
             continue
-        x, _ = read_wav(w)
+        x, _ = read_wav(w, target_fs=cfg.fs)
         y = converter.convert(x, args.src, args.trg)
         _, sp_conv, _ = analyze_utterance(y, cfg)
-        xt, _ = read_wav(trg_w)
+        xt, _ = read_wav(trg_w, target_fs=cfg.fs)
         _, sp_trg, _ = analyze_utterance(xt, cfg)
         n = min(len(sp_conv), len(sp_trg))
         scores.append(mcd(sp_conv[:n], sp_trg[:n], cfg.fs))

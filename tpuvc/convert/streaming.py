@@ -112,14 +112,23 @@ class MultiStreamConverter:
 
     The serving-side scale-out of the streaming surface (BASELINE
     config 5): each stream keeps its own (src, trg) pair, crossfade
-    state, and deterministic seed sequence, but whenever any stream has
-    a ready [halo|chunk|halo] window, ALL ready streams convert through
-    the batched vmapped graph in one device call
+    state, and deterministic seed sequence; conversion happens at TICKS,
+    where every stream with a ready [halo|chunk|halo] window converts
+    through the batched vmapped graph in one device call
     (Converter.convert_batch with per-row seeds) — per-call dispatch
     cost amortizes over live streams exactly as the batch bench
     amortizes over utterances.  The batch pads to the full stream count
     with repeated rows so there is ONE compiled shape regardless of how
     many streams are ready.
+
+    ``push`` only BUFFERS (it returns audio already converted by earlier
+    ticks); a tick fires automatically once EVERY stream has a full
+    window — the synchronized serving loop's steady state — or whenever
+    the caller invokes :meth:`tick` (e.g. on a latency deadline with
+    slow streams).  An early draft ticked eagerly per push, which made
+    each batch carry exactly one real row — n streams cost n solo calls
+    with zero amortization (caught in review; the auto-tick condition is
+    what makes the batching real).
 
     Per-stream output matches a solo StreamingConverter to vmap
     reassociation rounding (tests/test_streaming.py).
@@ -158,24 +167,39 @@ class MultiStreamConverter:
             st._buf = st._buf[st.chunk:]
             self._pending[i] = np.concatenate([self._pending[i], piece])
 
+    def _ready(self) -> list[int]:
+        return [i for i, s in enumerate(self.streams)
+                if s._buf.size >= s.chunk + 2 * s.halo]
+
+    def tick(self) -> list[int]:
+        """Convert ALL currently ready streams in one batched device
+        call; returns the stream ids converted (empty if none ready).
+        Call on a latency deadline when some streams are slow;
+        otherwise push() auto-ticks once every stream is ready."""
+        ready = self._ready()
+        if ready:
+            self._tick(ready)
+        return ready
+
     def push(self, stream_id: int, samples: np.ndarray) -> np.ndarray:
-        """Feed one stream; returns that stream's newly ready audio."""
+        """Buffer samples for one stream; returns that stream's audio
+        converted by prior ticks.  Auto-ticks while EVERY stream has a
+        full window (the synchronized steady state)."""
         st = self.streams[stream_id]
         st._buf = np.concatenate([st._buf,
                                   np.asarray(samples, np.float32)])
-        while True:
-            ready = [i for i, s in enumerate(self.streams)
-                     if s._buf.size >= s.chunk + 2 * s.halo]
-            if not ready:
-                break
-            self._tick(ready)
+        while len(self._ready()) == len(self.streams):
+            self._tick(list(range(len(self.streams))))
         out = self._pending[stream_id]
         self._pending[stream_id] = np.zeros(0, np.float32)
         return out
 
     def flush_all(self) -> list[np.ndarray]:
-        """Flush every stream; tail windows are ragged, so they convert
-        through the per-stream single-call path."""
+        """Flush every stream: drain remaining full windows through
+        batched ticks, then convert the ragged tail windows through the
+        per-stream single-call path."""
+        while self.tick():
+            pass
         outs = []
         for i, st in enumerate(self.streams):
             tail = st.flush()

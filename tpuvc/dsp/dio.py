@@ -193,20 +193,21 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
                                    last, 0.0))
         return jnp.where(valid, interp, edge)
 
-    # ONE vectorized pass over all four event types — the sign convention
-    # folds into the data (negation is exact, and frac = s0/(s0-s1) is
-    # negation-invariant bit for bit), and the derivative rows pad one
-    # INERT cell (s0 == s1 -> no crossing under either sign; prefix scans
-    # past it combine with fill, so every value a frame reads is
-    # unchanged) to share the zero-crossing rows' cell count.  Replaces
-    # four sequential crossings() calls: same FLOPs, ~4x fewer XLA
-    # kernels — per-kernel overhead is ~1.5 ms on the target attachment
-    # and this stage was kernel-count-bound (docs/PERFORMANCE.md
-    # round-4; goldens pin bit-exactness).
-    d_p = jnp.concatenate([d, d[-1:]])
-    s_all = jnp.stack([sig, -sig, d_p, -d_p])
-    offs = jnp.asarray([0.0, 0.0, 0.5, 0.5], jnp.float32)
-    return jax.vmap(crossings)(s_all, offs)
+    # The four event types batch as TWO vectorized pairs — the sign
+    # convention folds into the data (negation is exact, and frac =
+    # s0/(s0-s1) is negation-invariant bit for bit), halving the stage's
+    # XLA kernel count at identical FLOPs (per-kernel overhead is
+    # ~1.5 ms on the target attachment and this stage was
+    # kernel-count-bound — docs/PERFORMANCE.md round-4).  The
+    # zero-crossing rows (ncells = T-1) and derivative rows (ncells =
+    # T-2) keep their OWN cell counts: a single 4-row stack needs the
+    # derivative rows padded by one cell, which shifts n_read/nb at
+    # hop-multiple lengths and changes the LAST frame's prefix read —
+    # caught in review as a >1 kHz edge-track deviation vs the per-type
+    # formulation; two pairs preserve the per-type semantics exactly.
+    zc = jax.vmap(lambda s: crossings(s, 0.0))(jnp.stack([sig, -sig]))
+    pd = jax.vmap(lambda s: crossings(s, 0.5))(jnp.stack([d, -d]))
+    return jnp.concatenate([zc, pd])
     # rows: negative-going / positive-going zero crossings, peaks, dips
 
 

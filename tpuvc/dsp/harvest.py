@@ -246,6 +246,14 @@ def _refine_and_score_fused(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
     cost tracks the REAL candidate count without top-k approximation.
     Same numbers as the XLA path to reduction-order rounding
     (tests/test_ops.py; oracle parity pins the end-to-end track).
+
+    Memory: the kernel input is the pre-framed [N, W] segment array
+    (12.3 MB per 4 s utterance; ~393 MB/call at the 128 audio-s budget)
+    — the array the round-3 XLA path deliberately avoided CARRYING
+    through a lax.map (loop-state movement cost, not footprint).  As a
+    kernel input it is written once and streamed tile-by-tile, far
+    under the 15.75 GB HBM envelope; the on-chip A/B
+    (scripts/bench_harvest.py) gates making this path the default.
     """
     from tpuvc.ops.pallas_harmonics import harmonic_dft_pallas, use_pallas
     from tpuvc.ops.framing import frame_signal

@@ -53,6 +53,12 @@ def harmonics_impl() -> str:
     TPUVC_HARMONICS=pallas to enable the fused kernel on TPU (the stage
     A/B switch used by scripts/bench_harmonics.py); off-TPU the kernel
     only runs in the tests' interpreter mode.
+
+    NOTE: call sites read this at TRACE time inside jitted functions
+    whose caches key on shapes/static args only — changing the env var
+    after a stonemask/harvest call with the same shapes returns the
+    CACHED trace.  Set the env before the process's first call and run
+    one process per impl for A/Bs (scripts/bench_harmonics.py does).
     """
     import os
     forced = os.environ.get("TPUVC_HARMONICS")

@@ -28,9 +28,15 @@ from tpuvc.utils.config import Architecture
 
 def _table_fingerprint(a: np.ndarray) -> tuple:
     """O(1) identity for a host frame table: object id + shape/dtype + a
-    1024-element strided value probe.  Catches in-place mutation (which
-    touches essentially every element for realistic edits like
-    re-normalization) without hashing the full multi-hundred-MB table."""
+    1024-element strided value probe.  Catches whole-table in-place
+    mutation (realistic edits like re-normalization touch essentially
+    every element) without hashing the full multi-hundred-MB table.
+    LIMITS: a SPARSE in-place edit (a few rows of a huge table) can miss
+    every probe — treat resident tables as immutable, or reassign a new
+    array after editing.  The id() component is only sound while the
+    caller's array stays alive; train_resident keeps a strong reference
+    in _resident_src for exactly that reason (id reuse after GC would
+    otherwise allow a false cache hit)."""
     obj_id = id(a)                 # of the CALLER's object, pre-asarray
     a = np.asarray(a)
     flat = a.reshape(-1)
@@ -61,6 +67,7 @@ class _BaseTrainer:
         # relay.
         self._multistep_cache: dict[int, Any] = {}
         self._resident_key: Any = None
+        self._resident_src: Any = None   # strong refs: keep id() sound
         self._resident_dev: Any = None
 
     def _resume(self, batches: Iterator | None = None,
@@ -142,6 +149,7 @@ class _BaseTrainer:
         key = (_table_fingerprint(data), _table_fingerprint(labels))
         if self._resident_key != key:
             self._resident_key = key
+            self._resident_src = (data, labels)
             self._resident_dev = (
                 jax.device_put(np.ascontiguousarray(data, np.float32),
                                mesh_lib.replicated(self.mesh)),

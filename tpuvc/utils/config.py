@@ -123,6 +123,13 @@ class Architecture:
                     "compute_dtype", "conv_impl", "d2s_impl"):
             if key in d:
                 kw[key] = d[key]
+        # version gate: an architecture.json WITHOUT output_activation
+        # predates the tanh head — its checkpoint was trained with a
+        # linear decoder, and applying tanh at load would silently
+        # compress every frame (tanh(0.9) = 0.716).  New runs save the
+        # field (Architecture.save serializes all fields), so only
+        # legacy checkpoints take this branch.
+        kw.setdefault("output_activation", "linear")
         # reference alias: "hwc": [513, 1, 1]
         if "hwc" in d:
             kw["x_dim"] = int(d["hwc"][0])
