@@ -191,3 +191,29 @@ def test_output_activation_flag(small_arch):
     params_l = init_params(model_l, lin, jax.random.PRNGKey(0))
     out_l = model_l.apply(params_l, z, y, method=type(model_l).decode)
     assert out_l.shape == out.shape
+
+
+def test_output_activation_version_gate():
+    """architecture.json WITHOUT output_activation predates the tanh
+    head: it must load as 'linear' (what its checkpoint was trained
+    with), while new saves serialize the field explicitly (review
+    finding: the dataclass default would have silently tanh-compressed
+    every legacy checkpoint's frames at load)."""
+    import json
+    import tempfile
+
+    from tpuvc.utils.config import Architecture
+
+    legacy = Architecture.from_json({"model": "VAE", "z_dim": 8})
+    assert legacy.output_activation == "linear"
+    explicit = Architecture.from_json({"model": "VAE",
+                                       "output_activation": "tanh"})
+    assert explicit.output_activation == "tanh"
+    # fresh code-constructed architectures keep the parity default and
+    # round-trip through save/load losslessly
+    arch = Architecture()
+    assert arch.output_activation == "tanh"
+    with tempfile.NamedTemporaryFile("w", suffix=".json") as f:
+        arch.save(f.name)
+        assert json.load(open(f.name))["output_activation"] == "tanh"
+        assert Architecture.load(f.name).output_activation == "tanh"
