@@ -74,3 +74,55 @@ def test_sharded_batch_conversion_matches_single_device(mesh):
     assert len(got) == len(ref)
     for a, b in zip(ref, got):
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_multistream_dp_serving_matches_unsharded():
+    """MultiStreamConverter(mesh=...) shards the stream axis over the
+    8-device CPU mesh; per-stream output must match the unsharded
+    multistream tick (DP serving of concurrent streams)."""
+    import jax
+    import numpy as np
+
+    from tests.conftest import make_harmonic
+    from tpuvc.convert.pipeline import Converter, ConverterAssets
+    from tpuvc.convert.streaming import MultiStreamConverter
+    from tpuvc.dsp.constants import DEFAULT_WORLD
+    from tpuvc.models.vae import CVAE, init_params
+    from tpuvc.parallel import mesh as mesh_lib
+    from tpuvc.utils.config import Architecture, NetSpec
+
+    arch = Architecture(
+        model="VAE", z_dim=16, y_dim=2, y_emb_dim=8,
+        encoder=NetSpec((7, 7), (3, 3), (8, 16)),
+        generator=NetSpec((7, 7, 7), (3, 3, 3), (16, 8, 1)),
+        discriminator=NetSpec((7,), (3,), (8,)),
+    )
+    model = CVAE(arch=arch)
+    params = init_params(model, arch, jax.random.PRNGKey(0))
+    assets = ConverterAssets(
+        xmin=np.full(513, -10.0, np.float32),
+        xmax=np.full(513, 1.0, np.float32),
+        f0_mu=np.array([5.0, 5.3], np.float32),
+        f0_sigma=np.ones(2, np.float32), speakers=["A", "B"])
+    cfg = DEFAULT_WORLD
+    mesh = mesh_lib.make_mesh()
+    x = make_harmonic(150.0, fs=cfg.fs, dur_s=2.2, n_harm=8,
+                      noise=0.003).astype(np.float32)
+    pairs = [("A", "B")] * 8
+
+    def run(mesh_arg):
+        conv = Converter(model, params, assets, cfg, bucket_s=1.0)
+        m = MultiStreamConverter(conv, pairs, chunk_s=1.0, seed=3,
+                                 mesh=mesh_arg)
+        outs = [[] for _ in pairs]
+        for i in range(len(pairs)):
+            outs[i].append(m.push(i, x))
+        for i, tail in enumerate(m.flush_all()):
+            outs[i].append(tail)
+        return [np.concatenate(o) for o in outs]
+
+    ref = run(None)
+    dp = run(mesh)
+    for a, b in zip(ref, dp):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)

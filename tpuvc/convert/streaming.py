@@ -135,9 +135,13 @@ class MultiStreamConverter:
     """
 
     def __init__(self, converter: Converter, pairs, chunk_s: float = 1.0,
-                 halo_s: float = 0.192, seed: int = 0):
+                 halo_s: float = 0.192, seed: int = 0, mesh=None):
+        """``mesh``: a tpuvc.parallel data mesh — the batched tick shards
+        the stream axis over its devices (DP serving: N chips carry N-x
+        the concurrent streams, SURVEY.md SS2.4)."""
         self.conv = converter
         self.pairs = list(pairs)
+        self.mesh = mesh
         self.streams = [
             StreamingConverter(converter, src, trg, chunk_s=chunk_s,
                                halo_s=halo_s, seed=seed + 7919 * i)
@@ -155,7 +159,7 @@ class MultiStreamConverter:
         ys = self.conv.convert_batch(
             rows, [self.pairs[i][0] for i in idx],
             [self.pairs[i][1] for i in idx],
-            seed=np.asarray(seeds, np.int32))
+            seed=np.asarray(seeds, np.int32), mesh=self.mesh)
         for j, i in enumerate(ready):
             st = self.streams[i]
             st._pos += 1
