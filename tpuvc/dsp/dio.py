@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +95,76 @@ def _edge_pad(v: jnp.ndarray, n: int) -> jnp.ndarray:
         [v, jnp.broadcast_to(v[-1:], (n - v.shape[0],))])
 
 
+def _tracks_from_pairs(p1: jnp.ndarray, p2: jnp.ndarray, s1: jnp.ndarray,
+                       s2: jnp.ndarray, fs_d: float, n_frames: int,
+                       stride: int, ncells: int) -> jnp.ndarray:
+    """Block top-2 event-time pairs -> one event type's f0 track [N].
+
+    The shared tail of the event machinery: block-level prefix/suffix
+    top-2 scans over the per-block sorted pairs (p1/p2 block max pair
+    filled -inf, s1/s2 block min pair filled +inf, each [nb] with nb =
+    ceil(ncells/stride)), then WORLD's midpoint-interpolated interval
+    contour read at the frame positions with edge hold (see
+    _channel_tracks for the full derivation and provenance).
+    """
+    p1, p2 = _top2_max_scan((p1, p2))
+    s1, s2 = _top2_min_scan_rev((s1, s2))
+    neg = jnp.full((1,), -jnp.inf, jnp.float32)
+    # frame i's prefix read position is cell i*stride-1, which exists
+    # only for i <= ncells//stride; frames past the signal end repeat
+    # the last in-range prefix (edge pad) rather than reading the full
+    # prefix — else such a frame sees events at-or-after its own
+    # position in BOTH neighbors (a >= b -> spuriously unvoiced)
+    n_read = ncells // stride + 1
+    a = _edge_pad(jnp.concatenate([neg, p1])[:n_read], n_frames)
+    a0 = _edge_pad(jnp.concatenate([neg, p2])[:n_read], n_frames)
+    b = _edge_pad(s1, n_frames)
+    b2 = _edge_pad(s2, n_frames)
+    left_ok = jnp.isfinite(a0) & (a0 < a - 1e-3)
+    right_ok = jnp.isfinite(b2) & (b2 > b + 1e-3)
+
+    t = (jnp.arange(n_frames, dtype=jnp.float32)
+         * jnp.float32(stride))
+    v_mid = fs_d / jnp.maximum(b - a, 1e-6)      # interval containing t
+    v_left = fs_d / jnp.maximum(a - a0, 1e-6)
+    v_right = fs_d / jnp.maximum(b2 - b, 1e-6)
+    m_left = 0.5 * (a0 + a)
+    m_mid = 0.5 * (a + b)
+    m_right = 0.5 * (b + b2)
+    wl = jnp.clip((t - m_left) / jnp.maximum(m_mid - m_left, 1e-6),
+                  0.0, 1.0)
+    f_left = jnp.where(left_ok, v_left + wl * (v_mid - v_left), v_mid)
+    wr = jnp.clip((t - m_mid) / jnp.maximum(m_right - m_mid, 1e-6),
+                  0.0, 1.0)
+    f_right = jnp.where(right_ok, v_mid + wr * (v_right - v_mid), v_mid)
+    interp = jnp.where(t < m_mid, f_left, f_right)
+
+    valid = jnp.isfinite(a) & jnp.isfinite(b) & (b > a)
+    # edge hold (WORLD interp1 semantics): frames before the first event
+    # read the first interval's f0, frames after the last event the last
+    # interval's — otherwise utterance-edge frames lose their track and
+    # come out spuriously unvoiced (oracle parity: tests/oracle/dio.py).
+    # The global first/last two event times are the block scans' ends.
+    # Those are top-2 WITH multiplicity: two events with identical
+    # crossing time (an exact-zero sample at a cell boundary) make the
+    # pair degenerate (e1 == e0) and fs_d/1e-6 would masquerade as a
+    # candidate — require a strictly later/earlier second event
+    # (matching the old distinct-time semantics; same 1e-3-cell
+    # tolerance as left_ok/right_ok) and degrade to unvoiced otherwise.
+    e0, e1 = s1[0], s2[0]
+    en, en1 = p1[-1], p2[-1]
+    first = jnp.where(jnp.isfinite(e0) & jnp.isfinite(e1)
+                      & (e1 > e0 + 1e-3),
+                      fs_d / jnp.maximum(e1 - e0, 1e-6), 0.0)
+    last = jnp.where(jnp.isfinite(en) & jnp.isfinite(en1)
+                     & (en > en1 + 1e-3),
+                     fs_d / jnp.maximum(en - en1, 1e-6), 0.0)
+    edge = jnp.where(~jnp.isfinite(a) & jnp.isfinite(b), first,
+                     jnp.where(jnp.isfinite(a) & ~jnp.isfinite(b),
+                               last, 0.0))
+    return jnp.where(valid, interp, edge)
+
+
 def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
                     stride: int) -> jnp.ndarray:
     """Four event-interval f0 tracks for one filtered channel -> [4, N].
@@ -134,81 +205,77 @@ def _channel_tracks(sig: jnp.ndarray, fs_d: float, n_frames: int,
         # none, else a frame sharing a cell with an event reads it as both
         # neighbors, a == b -> spuriously invalid) and the suffix from
         # block i (inclusive)
-        p1, p2 = _top2_max_scan(
-            _block_top2(jnp.where(m, tpos, -jnp.inf), stride, nb, True))
-        s1, s2 = _top2_min_scan_rev(
-            _block_top2(jnp.where(m, tpos, jnp.inf), stride, nb, False))
-        neg = jnp.full((1,), -jnp.inf, jnp.float32)
-        # frame i's prefix read position is cell i*stride-1, which exists
-        # only for i <= ncells//stride; frames past the signal end repeat
-        # the last in-range prefix (edge pad) rather than reading the full
-        # prefix — else such a frame sees events at-or-after its own
-        # position in BOTH neighbors (a >= b -> spuriously unvoiced)
-        n_read = ncells // stride + 1
-        a = _edge_pad(jnp.concatenate([neg, p1])[:n_read], n_frames)
-        a0 = _edge_pad(jnp.concatenate([neg, p2])[:n_read], n_frames)
-        b = _edge_pad(s1, n_frames)
-        b2 = _edge_pad(s2, n_frames)
-        left_ok = jnp.isfinite(a0) & (a0 < a - 1e-3)
-        right_ok = jnp.isfinite(b2) & (b2 > b + 1e-3)
+        p1, p2 = _block_top2(jnp.where(m, tpos, -jnp.inf), stride, nb, True)
+        s1, s2 = _block_top2(jnp.where(m, tpos, jnp.inf), stride, nb, False)
+        return _tracks_from_pairs(p1, p2, s1, s2, fs_d, n_frames,
+                                  stride, ncells)
 
-        t = (jnp.arange(n_frames, dtype=jnp.float32)
-             * jnp.float32(stride))
-        v_mid = fs_d / jnp.maximum(b - a, 1e-6)      # interval containing t
-        v_left = fs_d / jnp.maximum(a - a0, 1e-6)
-        v_right = fs_d / jnp.maximum(b2 - b, 1e-6)
-        m_left = 0.5 * (a0 + a)
-        m_mid = 0.5 * (a + b)
-        m_right = 0.5 * (b + b2)
-        wl = jnp.clip((t - m_left) / jnp.maximum(m_mid - m_left, 1e-6),
-                      0.0, 1.0)
-        f_left = jnp.where(left_ok, v_left + wl * (v_mid - v_left), v_mid)
-        wr = jnp.clip((t - m_mid) / jnp.maximum(m_right - m_mid, 1e-6),
-                      0.0, 1.0)
-        f_right = jnp.where(right_ok, v_mid + wr * (v_right - v_mid), v_mid)
-        interp = jnp.where(t < m_mid, f_left, f_right)
-
-        valid = jnp.isfinite(a) & jnp.isfinite(b) & (b > a)
-        # edge hold (WORLD interp1 semantics): frames before the first event
-        # read the first interval's f0, frames after the last event the last
-        # interval's — otherwise utterance-edge frames lose their track and
-        # come out spuriously unvoiced (oracle parity: tests/oracle/dio.py).
-        # The global first/last two event times are the block scans' ends.
-        # Those are top-2 WITH multiplicity: two events with identical
-        # crossing time (an exact-zero sample at a cell boundary) make the
-        # pair degenerate (e1 == e0) and fs_d/1e-6 would masquerade as a
-        # candidate — require a strictly later/earlier second event
-        # (matching the old distinct-time semantics; same 1e-3-cell
-        # tolerance as left_ok/right_ok) and degrade to unvoiced otherwise.
-        e0, e1 = s1[0], s2[0]
-        en, en1 = p1[-1], p2[-1]
-        first = jnp.where(jnp.isfinite(e0) & jnp.isfinite(e1)
-                          & (e1 > e0 + 1e-3),
-                          fs_d / jnp.maximum(e1 - e0, 1e-6), 0.0)
-        last = jnp.where(jnp.isfinite(en) & jnp.isfinite(en1)
-                         & (en > en1 + 1e-3),
-                         fs_d / jnp.maximum(en - en1, 1e-6), 0.0)
-        edge = jnp.where(~jnp.isfinite(a) & jnp.isfinite(b), first,
-                         jnp.where(jnp.isfinite(a) & ~jnp.isfinite(b),
-                                   last, 0.0))
-        return jnp.where(valid, interp, edge)
-
-    # The four event types batch as TWO vectorized pairs — the sign
-    # convention folds into the data (negation is exact, and frac =
-    # s0/(s0-s1) is negation-invariant bit for bit), halving the stage's
-    # XLA kernel count at identical FLOPs (per-kernel overhead is
-    # ~1.5 ms on the target attachment and this stage was
-    # kernel-count-bound — docs/PERFORMANCE.md round-4).  The
-    # zero-crossing rows (ncells = T-1) and derivative rows (ncells =
-    # T-2) keep their OWN cell counts: a single 4-row stack needs the
-    # derivative rows padded by one cell, which shifts n_read/nb at
+    # The sign convention folds into the data (negation is exact, and
+    # frac = s0/(s0-s1) is negation-invariant bit for bit), so the four
+    # event types are four calls on +-sig / +-d with identical math.  Two
+    # formulations, bit-identical outputs, selected by TPUVC_EVENT_BATCH
+    # for on-chip A/B (this function already runs under a 152-channel
+    # vmap, so "pair" nests a second batch axis through the block scans
+    # while "per_type" keeps four single-batch graphs):
+    #   per_type (default) — four separate crossings() calls, the
+    #     round-3 formulation that measured 247x on the harvest path;
+    #   pair — the types batch as TWO vectorized pairs (~4x fewer XLA
+    #     kernels in a stage the traffic arithmetic calls kernel-count-
+    #     bound), but jnp.stack([sig, -sig]) under the outer vmap
+    #     materializes a second copy of the whole filtered bank and the
+    #     extra scan batch axis measured SLOWER on chip (harvest xla
+    #     0.839 s/call vs 0.518 round 3 — docs/PERFORMANCE.md round 4).
+    # The zero-crossing rows (ncells = T-1) and derivative rows (ncells =
+    # T-2) keep their OWN cell counts in both: a single 4-row stack needs
+    # the derivative rows padded by one cell, which shifts n_read/nb at
     # hop-multiple lengths and changes the LAST frame's prefix read —
-    # caught in review as a >1 kHz edge-track deviation vs the per-type
-    # formulation; two pairs preserve the per-type semantics exactly.
-    zc = jax.vmap(lambda s: crossings(s, 0.0))(jnp.stack([sig, -sig]))
-    pd = jax.vmap(lambda s: crossings(s, 0.5))(jnp.stack([d, -d]))
-    return jnp.concatenate([zc, pd])
-    # rows: negative-going / positive-going zero crossings, peaks, dips
+    # caught in review as a >1 kHz edge-track deviation vs per-type.
+    if os.environ.get("TPUVC_EVENT_BATCH", "per_type") == "pair":
+        zc = jax.vmap(lambda s: crossings(s, 0.0))(jnp.stack([sig, -sig]))
+        pd = jax.vmap(lambda s: crossings(s, 0.5))(jnp.stack([d, -d]))
+        return jnp.concatenate([zc, pd])
+    return jnp.stack([
+        crossings(sig, 0.0),   # negative-going zero crossings
+        crossings(-sig, 0.0),  # positive-going zero crossings
+        crossings(d, 0.5),     # peaks (maxima of sig)
+        crossings(-d, 0.5),    # dips (minima of sig)
+    ])
+
+
+def _bank_tracks(filtered: jnp.ndarray, fs_d: float, n_frames: int,
+                 stride: int) -> jnp.ndarray:
+    """Event-interval f0 tracks for a whole channel bank: [C, Td] -> [C, 4, N].
+
+    With TPUVC_EVENTS=pallas the per-cell event stage (crossing masks,
+    interpolation fractions, per-block top-2 for all four event types)
+    runs as ONE fused kernel over the bank (ops/pallas_events.py; reads
+    the [C, Td] cell grid once instead of ~30-40 XLA passes), and only
+    the stride-x-smaller block scans + frame interpolation remain here;
+    the default XLA path vmaps the per-channel formulation.  Outputs
+    are bit-identical between the two (tests/test_events.py).
+    """
+    from tpuvc.ops.pallas_events import event_block_pairs, events_impl
+    from tpuvc.ops.pallas_window import use_pallas
+    if events_impl() != "pallas":
+        return jax.vmap(
+            lambda s: _channel_tracks(s, fs_d, n_frames, stride))(filtered)
+    t = filtered.shape[-1]
+    pairs = event_block_pairs(filtered, stride,
+                              interpret=not use_pallas())   # [C, 16, nbp]
+    nb_zc = -(-(t - 1) // stride)
+    nb_pd = -(-(t - 2) // stride)
+
+    def one(pr):
+        rows = []
+        for ti, (nc, nb) in enumerate(((t - 1, nb_zc), (t - 1, nb_zc),
+                                       (t - 2, nb_pd), (t - 2, nb_pd))):
+            rows.append(_tracks_from_pairs(
+                pr[4 * ti, :nb], pr[4 * ti + 1, :nb],
+                pr[4 * ti + 2, :nb], pr[4 * ti + 3, :nb],
+                fs_d, n_frames, stride, nc))
+        return jnp.stack(rows)
+
+    return jax.vmap(one)(pairs)
 
 
 def _fix_step_remove_jumps(f0: jnp.ndarray, allowed: float) -> jnp.ndarray:
@@ -268,8 +335,7 @@ def dio(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
         y, fs_d, _boundary_f0s(f0_floor, f0_ceil))           # [C, Td]
 
     stride = hop // ratio                                    # decimated grid
-    tracks = jax.vmap(
-        lambda s: _channel_tracks(s, fs_d, n_frames, stride))(filtered)
+    tracks = _bank_tracks(filtered, fs_d, n_frames, stride)
     # tracks: [C, 4, N]
     cand = jnp.mean(tracks, axis=1)                          # [C, N]
     dev = jnp.sqrt(jnp.sum((tracks - cand[:, None, :]) ** 2, axis=1) / 3.0)

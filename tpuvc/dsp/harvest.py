@@ -532,7 +532,14 @@ def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
     track_one = lambda s: _channel_tracks(s, fs_d, n_1ms, hop_1ms_d)
     cb = _CHANNEL_BLOCK
     c = filtered.shape[0]
-    if cb >= c:
+    from tpuvc.ops.pallas_events import events_impl
+    if events_impl() == "pallas":
+        # fused event kernel (ops/pallas_events.py): the per-channel
+        # temporaries are [nb]-sized (stride x smaller than the cell
+        # grid), so the whole bank runs unblocked
+        from tpuvc.dsp.dio import _bank_tracks
+        tracks = _bank_tracks(filtered, fs_d, n_1ms, hop_1ms_d)
+    elif cb >= c:
         # one block covers the bank: skip the lax.map — a 1-step while
         # still pays carried-buffer plumbing and blocks fusion with the
         # neighboring stages

@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: fused per-cell event detection + per-block top-2.
+
+The f0 event machinery (dsp/dio.py ``_channel_tracks`` — SURVEY.md SS2.3
+N1, shared by DIO and Harvest) detects four event types per filtered
+channel (zero crossings both directions, peaks, dips), each as: a
+crossing mask over T-1 cells, a linear-interpolation fraction, a cell
+time, and a per-block (``stride`` cells) sorted top-2 of the masked
+event times in BOTH directions (largest pair feeds the prefix scan,
+smallest pair the suffix scan).  In XLA that is ~30-40 elementwise /
+reshape-reduce kernels over the [C, Td] cell grid per call — the
+round-4 roofline put the stage (with the bank and contour) at 91% of
+the harvest call, mostly per-kernel overhead and repeated HBM passes
+over the 623 MB (batch 32) cell grid.
+
+Here ONE kernel reads each channel's cells once in a [stride, nb]
+transposed layout (sublane j = position in block, lane k = block id,
+cell i = k*stride + j): neighbor cells come from two ``pltpu.roll``s
+(+ a pre-shifted copy for the cross-block carry), the four event types
+are computed in VMEM from the same tile (the derivative signal is
+``next - cell``, negation folds the sign conventions into the data),
+and the block top-2 pairs accumulate over the ``stride`` sublanes with
+the same sorted-pair insert the block scans use — multiplicity-exact,
+so the outputs are bit-identical to the XLA ``_block_top2`` path (the
+block-level scans and the frame interpolation, which run on the
+stride-x-smaller [*, nb] grid, stay in XLA).  HBM traffic for the
+stage drops from ~30 passes over [C, Td] to one read of [C, Td] (x2
+with the shifted copy) plus the 16 compact [C, nb] outputs.
+
+Gated behind TPUVC_EVENTS=pallas until it carries an on-chip number
+(repo convention — cf. ops/pallas_harmonics.py); off-TPU the kernel
+runs in interpreter mode for the equivalence tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuvc.ops.pallas_window import use_pallas
+
+_LANE_TILE = 2048   # blocks per program: (stride, 2048) f32 = 64-160 KB,
+#   ~12 live temps -> well under VMEM for both the harvest (stride 8)
+#   and DIO (stride 20) grids
+
+
+def events_impl() -> str:
+    """Which event-stage implementation the f0 call sites should use.
+
+    Default "xla" until the kernel carries an on-chip measurement (the
+    XLA path's numbers are round-3-proven; an unmeasured Mosaic lowering
+    must not take down the default convert graph).  Set
+    TPUVC_EVENTS=pallas to enable the fused kernel (off-TPU it runs in
+    interpreter mode — correct but slow, for tests).  Same trace-time
+    caveat as ops/pallas_harmonics.harmonics_impl: set the env var
+    before the process's first dio/harvest call.
+    """
+    forced = os.environ.get("TPUVC_EVENTS")
+    if forced in ("xla", "pallas"):
+        return forced
+    return "xla"
+
+
+def _insert_top2(vals: jnp.ndarray, largest: bool, stride: int):
+    """(stride, L) masked event times -> sorted top-2 pair ((1, L), (1, L)).
+
+    Sequential sorted-pair insert over the sublane rows — the same
+    associative combine the block scans use with a singleton right
+    operand, so the result multiset (with multiplicity, exact under
+    ties) matches dsp/dio._block_top2's argmax-removal formulation
+    value for value.
+    """
+    fill = -jnp.inf if largest else jnp.inf
+    lt = vals.shape[1]
+    m1 = jnp.full((1, lt), fill, jnp.float32)
+    m2 = jnp.full((1, lt), fill, jnp.float32)
+    for j in range(stride):
+        v = vals[j: j + 1, :]
+        if largest:
+            m2 = jnp.maximum(m2, jnp.minimum(m1, v))
+            m1 = jnp.maximum(m1, v)
+        else:
+            m2 = jnp.minimum(m2, jnp.maximum(m1, v))
+            m1 = jnp.minimum(m1, v)
+    return m1, m2
+
+
+def _kernel(s_ref, sn_ref, out_ref, *, stride: int, lt: int,
+            ncells_zc: int, ncells_pd: int):
+    s = s_ref[:]                                   # (stride, lt)
+    sn = sn_ref[:]                                 # next-block columns
+    j = jax.lax.broadcasted_iota(jnp.int32, (stride, lt), 0)
+    k = (jax.lax.broadcasted_iota(jnp.int32, (stride, lt), 1)
+         + pl.program_id(1) * lt)
+    i = k * stride + j                             # global cell index
+    i_f = i.astype(jnp.float32)
+    # cell i+1 / i+2 via sublane rolls; the block-boundary carry (rows
+    # wrapping into the next block) reads the pre-shifted copy, so the
+    # kernel never needs a cross-tile halo.  roll(x, sh)[j] = x[(j-sh)%n].
+    r1s = pltpu.roll(s, stride - 1, axis=0)        # s[(j+1) % stride]
+    r1n = pltpu.roll(sn, stride - 1, axis=0)
+    s1v = jnp.where(j <= stride - 2, r1s, r1n)     # sig[i+1]
+    r2s = pltpu.roll(s, stride - 2, axis=0)        # s[(j+2) % stride]
+    r2n = pltpu.roll(sn, stride - 2, axis=0)
+    s2v = jnp.where(j <= stride - 3, r2s, r2n)     # sig[i+2]
+    d0 = s1v - s                                   # d[i] = sig[i+1]-sig[i]
+    d1 = s2v - s1v                                 # d[i+1]
+    row = 0
+    for v0, v1, off, nc in ((s, s1v, 0.0, ncells_zc),
+                            (-s, -s1v, 0.0, ncells_zc),
+                            (d0, d1, 0.5, ncells_pd),
+                            (-d0, -d1, 0.5, ncells_pd)):
+        m = (v0 > 0.0) & (v1 <= 0.0) & (i < nc)
+        frac = jnp.where(m, v0 / jnp.where(m, v0 - v1, 1.0), 0.0)
+        tpos = i_f + frac + off
+        p1, p2 = _insert_top2(jnp.where(m, tpos, -jnp.inf), True, stride)
+        s1, s2 = _insert_top2(jnp.where(m, tpos, jnp.inf), False, stride)
+        out_ref[row: row + 1, :] = p1
+        out_ref[row + 1: row + 2, :] = p2
+        out_ref[row + 2: row + 3, :] = s1
+        out_ref[row + 3: row + 4, :] = s2
+        row += 4
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "interpret"))
+def event_block_pairs(bank: jnp.ndarray, stride: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """All four event types' per-block top-2 pairs for a channel bank.
+
+    bank [C, T] filtered signals; returns [C, 16, nb] where nb =
+    ceil((T-1)/stride) rounded up to the lane tile, rows 4*t + {0: block
+    max, 1: second max, 2: block min, 3: second min} of event type t in
+    (zc-neg, zc-pos, peaks, dips) order.  Blocks past a type's own cell
+    count (T-1 for the zero crossings, T-2 for the derivative types) are
+    all-fill — slice to the type's nb before scanning (dio._bank_tracks
+    does).
+    """
+    if stride < 3:
+        raise ValueError(f"event kernel needs stride >= 3, got {stride}")
+    c, t = bank.shape
+    nb = -(-(t - 1) // stride)
+    lt = min(_LANE_TILE, -(-nb // 128) * 128)
+    nb_pad = -(-nb // lt) * lt
+    tp = nb_pad * stride
+    sp = jnp.pad(bank.astype(jnp.float32), ((0, 0), (0, tp - t)))
+    st = sp.reshape(c, nb_pad, stride).transpose(0, 2, 1)   # [C, stride, nb]
+    sn = jnp.pad(st[:, :, 1:], ((0, 0), (0, 0), (0, 1)))    # next column
+    out = pl.pallas_call(
+        functools.partial(_kernel, stride=stride, lt=lt,
+                          ncells_zc=t - 1, ncells_pd=t - 2),
+        grid=(c, nb_pad // lt),
+        in_specs=[
+            pl.BlockSpec((None, stride, lt), lambda r, k: (r, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, stride, lt), lambda r, k: (r, 0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 16, lt), lambda r, k: (r, 0, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, 16, nb_pad), jnp.float32),
+        interpret=interpret,
+    )(st, sn)
+    return out
