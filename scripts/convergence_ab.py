@@ -44,10 +44,13 @@ def main() -> None:
     p.add_argument("--n_train", type=int, default=50)
     p.add_argument("--platform", default=None)
     p.add_argument("--ab", default="model",
-                   choices=["model", "output_activation"],
+                   choices=["model", "output_activation", "all"],
                    help="which A/B to run: 'model' = VAWGAN vs VAE; "
                         "'output_activation' = tanh vs linear decoder "
-                        "output on the VAE (VERDICT r3 item 2)")
+                        "output on the VAE (VERDICT r3 item 2); 'all' = "
+                        "three arms (VAWGAN, VAE-tanh, VAE-linear) sharing "
+                        "the common VAE-tanh arm, results written to BOTH "
+                        "keys — one chip pass answers both A/Bs")
     args = p.parse_args()
 
     if args.platform:
@@ -85,11 +88,20 @@ def main() -> None:
         # critic's contribution at equal steps (VERDICT r2 item 5)
         arms = [("VAWGAN", {"model": "VAWGAN", "trainer": "VAWGANTrainer"}),
                 ("VAE", {"model": "VAE", "trainer": "VAETrainer"})]
-    else:
+    elif args.ab == "output_activation":
         # decoder bounding: reference tanh output vs unbounded linear
         # (VERDICT r3 item 2; SURVEY.md SS3.4), both arms the VAE so the
         # activation is the only variable
         arms = [("tanh", {"model": "VAE", "trainer": "VAETrainer",
+                          "output_activation": "tanh"}),
+                ("linear", {"model": "VAE", "trainer": "VAETrainer",
+                            "output_activation": "linear"})]
+    else:
+        # both A/Bs in one chip pass: the default-config VAE (tanh) arm
+        # is shared — VAWGAN-vs-VAE answers the critic question on the
+        # sharpness axes, tanh-vs-linear answers the decoder bounding
+        arms = [("VAWGAN", {"model": "VAWGAN", "trainer": "VAWGANTrainer"}),
+                ("tanh", {"model": "VAE", "trainer": "VAETrainer",
                           "output_activation": "tanh"}),
                 ("linear", {"model": "VAE", "trainer": "VAETrainer",
                             "output_activation": "linear"})]
@@ -123,15 +135,28 @@ def main() -> None:
                   f"(wall {wall}s, "
                   f"metrics { {k: round(v, 3) for k, v in m.items()} })",
                   flush=True)
+            # survive a mid-run kill: completed milestones land on disk
+            results["models"][model_name] = traj
+            json.dump(results, open(os.path.join(
+                args.logdir, "partial_results.json"), "w"), indent=2)
         trainer.close()
-        results["models"][model_name] = traj
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "scale_validation.json")
     blob = json.load(open(out)) if os.path.exists(out) else {}
-    key = ("convergence_ab" if args.ab == "model"
-           else "output_activation_ab")
-    blob[key] = results
+    if args.ab == "all":
+        m = results["models"]
+        header = {k: results[k] for k in ("steps", "eval_every")}
+        blob["convergence_ab"] = dict(
+            header, ab="model",
+            models={"VAWGAN": m["VAWGAN"], "VAE": m["tanh"]})
+        blob["output_activation_ab"] = dict(
+            header, ab="output_activation",
+            models={"tanh": m["tanh"], "linear": m["linear"]})
+    else:
+        key = ("convergence_ab" if args.ab == "model"
+               else "output_activation_ab")
+        blob[key] = results
     json.dump(blob, open(out, "w"), indent=2)
     print(json.dumps(results))
 

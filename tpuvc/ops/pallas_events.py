@@ -26,9 +26,11 @@ stride-x-smaller [*, nb] grid, stay in XLA).  HBM traffic for the
 stage drops from ~30 passes over [C, Td] to one read of [C, Td] (x2
 with the shifted copy) plus the 16 compact [C, nb] outputs.
 
-Gated behind TPUVC_EVENTS=pallas until it carries an on-chip number
-(repo convention — cf. ops/pallas_harmonics.py); off-TPU the kernel
-runs in interpreter mode for the equivalence tests.
+Default ON TPU since the 2026-08-18 campaign measured it the winner
+(harvest 0.7065 s/call vs 0.7595 per-type-XLA at equal harmonics impl;
+main DIO bench 1302x vs 1277x — docs/PERFORMANCE.md round-4); off-TPU
+the kernel runs in interpreter mode for the equivalence tests and the
+default stays XLA.  TPUVC_EVENTS=xla|pallas overrides either way.
 """
 
 from __future__ import annotations
@@ -51,18 +53,17 @@ _LANE_TILE = 2048   # blocks per program: (stride, 2048) f32 = 64-160 KB,
 def events_impl() -> str:
     """Which event-stage implementation the f0 call sites should use.
 
-    Default "xla" until the kernel carries an on-chip measurement (the
-    XLA path's numbers are round-3-proven; an unmeasured Mosaic lowering
-    must not take down the default convert graph).  Set
-    TPUVC_EVENTS=pallas to enable the fused kernel (off-TPU it runs in
-    interpreter mode — correct but slow, for tests).  Same trace-time
+    Default "pallas" ON TPU (measured winner — module docstring has the
+    2026-08-18 campaign numbers); "xla" off-TPU, where the kernel only
+    runs in interpreter mode (correct but slow, for tests).
+    TPUVC_EVENTS=xla|pallas overrides either way.  Same trace-time
     caveat as ops/pallas_harmonics.harmonics_impl: set the env var
     before the process's first dio/harvest call.
     """
     forced = os.environ.get("TPUVC_EVENTS")
     if forced in ("xla", "pallas"):
         return forced
-    return "xla"
+    return "pallas" if use_pallas() else "xla"
 
 
 def _insert_top2(vals: jnp.ndarray, largest: bool, stride: int):

@@ -46,13 +46,13 @@ _TILE = 32   # frames per program: [32, 1024] f32 seg = 128 KB; ~14 live
 def harmonics_impl() -> str:
     """Which implementation the IF-refinement call sites should use.
 
-    Default "xla" everywhere until the kernel carries an on-chip
-    measurement (the XLA path's numbers are round-3-proven; a Mosaic
-    lowering surprise on real hardware must not take down the default
-    convert graph — cf. the pallas_d2s negative result).  Set
-    TPUVC_HARMONICS=pallas to enable the fused kernel on TPU (the stage
-    A/B switch used by scripts/bench_harmonics.py); off-TPU the kernel
-    only runs in the tests' interpreter mode.
+    Default "pallas" ON TPU — measured winner on the v5e (2026-08-18
+    campaign): StoneMask stage 19.79 ms/call vs 25.83 XLA at batch
+    128 x 4 s, and the harvest refinement rows moved the same way
+    (docs/PERFORMANCE.md round-4).  Off-TPU the default stays "xla"
+    (the kernel only runs in interpreter mode there — correct but
+    slow, for tests).  TPUVC_HARMONICS=xla|pallas overrides either
+    way (the stage A/B switch used by scripts/bench_harmonics.py).
 
     NOTE: call sites read this at TRACE time inside jitted functions
     whose caches key on shapes/static args only — changing the env var
@@ -64,7 +64,7 @@ def harmonics_impl() -> str:
     forced = os.environ.get("TPUVC_HARMONICS")
     if forced in ("xla", "pallas"):
         return forced   # honored verbatim (off-TPU pallas = interpreter)
-    return "xla"
+    return "pallas" if use_pallas() else "xla"
 
 
 def _slot(seg, base, f0, fs, n_harm, with_if, w):
