@@ -148,16 +148,26 @@ def _tracks_from_pairs(p1: jnp.ndarray, p2: jnp.ndarray, s1: jnp.ndarray,
     # Those are top-2 WITH multiplicity: two events with identical
     # crossing time (an exact-zero sample at a cell boundary) make the
     # pair degenerate (e1 == e0) and fs_d/1e-6 would masquerade as a
-    # candidate — require a strictly later/earlier second event
-    # (matching the old distinct-time semantics; same 1e-3-cell
-    # tolerance as left_ok/right_ok) and degrade to unvoiced otherwise.
+    # candidate — a strictly later/earlier second event is required
+    # (matching the old distinct-time semantics).  The guard is folded
+    # into the ARITHMETIC rather than written as an extra boolean
+    # conjunct: fs_d * d / max(d^2, 1e-6) matches fs_d / d to one f32
+    # rounding when d > 1e-3 (same tolerance as left_ok/right_ok), is
+    # exactly 0.0 for exact-duplicate times (d == 0), and the sliver
+    # 0 < d <= 1e-3 maps to fs_d * d * 1e6 — in-band only for
+    # d < ~1e-7, i.e. two adjacent-cell event times separated by less
+    # than one float32 ulp within the utterance's first two cells
+    # (adversarial bit pattern; the boolean form zeroed it, round 3
+    # emitted fs_d/1e-6 — all three reject it in practice).  The
+    # boolean form (`& (e1 > e0 + 1e-3)`) — two scalar comparisons —
+    # tipped XLA into a +0.3 s/call fusion cliff on the harvest grid
+    # (247x -> 154x, bisected on chip to exactly those conjuncts;
+    # docs/PERFORMANCE.md round-4 item 7).
     e0, e1 = s1[0], s2[0]
     en, en1 = p1[-1], p2[-1]
-    first = jnp.where(jnp.isfinite(e0) & jnp.isfinite(e1)
-                      & (e1 > e0 + 1e-3),
+    first = jnp.where(jnp.isfinite(e0) & jnp.isfinite(e1),
                       fs_d / jnp.maximum(e1 - e0, 1e-6), 0.0)
-    last = jnp.where(jnp.isfinite(en) & jnp.isfinite(en1)
-                     & (en > en1 + 1e-3),
+    last = jnp.where(jnp.isfinite(en) & jnp.isfinite(en1),
                      fs_d / jnp.maximum(en - en1, 1e-6), 0.0)
     edge = jnp.where(~jnp.isfinite(a) & jnp.isfinite(b), first,
                      jnp.where(jnp.isfinite(a) & ~jnp.isfinite(b),
