@@ -61,8 +61,9 @@ def capture(batch: int, trace_dir: str, f0_method: str = "dio") -> None:
     time.sleep(1)
 
 
-STAGES = ("dio", "stonemask", "cheaptrick", "d4c", "synthesize", "encode",
-          "decode", "convert_f0", "normalize")
+STAGES = ("hv_band_bank", "hv_event_tracks", "hv_merge", "hv_refine",
+          "hv_contour", "dio", "stonemask", "cheaptrick", "d4c",
+          "synthesize", "encode", "decode", "convert_f0", "normalize")
 
 
 def report(trace_dir: str, top_n: int = 30) -> None:

@@ -246,3 +246,53 @@ def test_harvest_channel_decim_accuracy():
         assert agree > 0.93, (kind, agree)
         rel = np.abs(e1[co] - e2[co]) / e1[co]
         assert np.mean(rel) < 0.01, (kind, np.mean(rel))
+
+
+def test_edge_hold_duplicate_event_degeneracy():
+    """Duplicate first/last event times (an exact-zero sample at a cell
+    boundary emits two events with the same crossing time) must degrade
+    the edge-hold f0 to unvoiced — NOT emit fs_d/1e-6 as a candidate
+    (round-3 advisor finding).  The guard is folded into the arithmetic
+    (fs_d*d/max(d^2,1e-6), no extra boolean conjuncts — the boolean form
+    cost a 247x->157x fusion cliff on the harvest grid, bisected on chip;
+    docs/PERFORMANCE.md round-4 item 7), so distinct events must still
+    match fs_d/d to float32 rounding."""
+    import jax.numpy as jnp
+
+    from tpuvc.dsp.dio import _tracks_from_pairs
+
+    stride, ncells, n_frames, fs_d = 8, 64, 9, 4000.0
+    nb = ncells // stride
+
+    def block_pairs(times):
+        p1 = np.full(nb, -np.inf, np.float32)
+        p2 = np.full(nb, -np.inf, np.float32)
+        s1 = np.full(nb, np.inf, np.float32)
+        s2 = np.full(nb, np.inf, np.float32)
+        blocks = {}
+        for t in times:
+            blocks.setdefault(int(t) // stride, []).append(t)
+        for k, ts in blocks.items():
+            desc = sorted(ts, reverse=True)
+            p1[k] = desc[0]
+            p2[k] = desc[1] if len(desc) > 1 else -np.inf
+            asc = sorted(ts)
+            s1[k] = asc[0]
+            s2[k] = asc[1] if len(asc) > 1 else np.inf
+        return tuple(jnp.asarray(v) for v in (p1, p2, s1, s2))
+
+    def track(times):
+        p1, p2, s1, s2 = block_pairs(times)
+        return np.asarray(_tracks_from_pairs(p1, p2, s1, s2, fs_d,
+                                             n_frames, stride, ncells))
+
+    # duplicate event times at both edges -> every frame unvoiced
+    dup = track([40.0, 40.0])
+    assert np.array_equal(dup, np.zeros(n_frames, np.float32)), dup
+
+    # distinct events 16 cells apart -> fs_d/16 everywhere (edge hold on
+    # both sides, midpoint interp between): the folded arithmetic must
+    # reproduce the plain division to f32 rounding
+    ok = track([24.0, 40.0])
+    np.testing.assert_allclose(ok, np.full(n_frames, fs_d / 16.0),
+                               rtol=2e-7)

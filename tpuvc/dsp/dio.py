@@ -165,10 +165,12 @@ def _tracks_from_pairs(p1: jnp.ndarray, p2: jnp.ndarray, s1: jnp.ndarray,
     # docs/PERFORMANCE.md round-4 item 7).
     e0, e1 = s1[0], s2[0]
     en, en1 = p1[-1], p2[-1]
+    df = e1 - e0
+    dl = en - en1
     first = jnp.where(jnp.isfinite(e0) & jnp.isfinite(e1),
-                      fs_d / jnp.maximum(e1 - e0, 1e-6), 0.0)
+                      fs_d * df / jnp.maximum(df * df, 1e-6), 0.0)
     last = jnp.where(jnp.isfinite(en) & jnp.isfinite(en1),
-                     fs_d / jnp.maximum(en - en1, 1e-6), 0.0)
+                     fs_d * dl / jnp.maximum(dl * dl, 1e-6), 0.0)
     edge = jnp.where(~jnp.isfinite(a) & jnp.isfinite(b), first,
                      jnp.where(jnp.isfinite(a) & ~jnp.isfinite(b),
                                last, 0.0))

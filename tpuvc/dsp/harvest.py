@@ -519,7 +519,11 @@ def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
     bfs_t = _boundary_f0s(f0_floor, f0_ceil)
     if channel_decim > 1:
         bfs_t = bfs_t[::channel_decim]
-    filtered = filters.bandpass_bank_fft(y, fs_d, bfs_t)     # [C, Td]
+    # jax.named_scope tags each stage in the xplane trace (tf_op scope)
+    # so scripts/roofline.py can attribute device time per harvest stage;
+    # scopes are trace-metadata only, numerically inert.
+    with jax.named_scope("hv_band_bank"):
+        filtered = filters.bandpass_bank_fft(y, fs_d, bfs_t)  # [C, Td]
 
     hop_1ms_d = fs_d // 1000
     n_1ms = (x.shape[0] * 1000) // fs + 1
@@ -533,48 +537,52 @@ def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
     cb = _CHANNEL_BLOCK
     c = filtered.shape[0]
     from tpuvc.ops.pallas_events import events_impl
-    if events_impl() == "pallas":
-        # fused event kernel (ops/pallas_events.py): the per-channel
-        # temporaries are [nb]-sized (stride x smaller than the cell
-        # grid), so the whole bank runs unblocked
-        from tpuvc.dsp.dio import _bank_tracks
-        tracks = _bank_tracks(filtered, fs_d, n_1ms, hop_1ms_d)
-    elif cb >= c:
-        # one block covers the bank: skip the lax.map — a 1-step while
-        # still pays carried-buffer plumbing and blocks fusion with the
-        # neighboring stages
-        tracks = jax.vmap(track_one)(filtered)
-    else:
-        pad_c = (-c) % cb
-        blocks = jnp.pad(filtered, ((0, pad_c), (0, 0))).reshape(
-            (c + pad_c) // cb, cb, -1)
-        tracks = jax.lax.map(jax.vmap(track_one), blocks)
-        tracks = tracks.reshape(-1, 4, n_1ms)[:c]
-    cand, dev = _channel_candidates(
-        tracks, jnp.asarray(bfs_t, jnp.float32), floor, ceil)
-
-    merged_v, _ = _merge_channels(cand, dev)                 # [N, K]
+    with jax.named_scope("hv_event_tracks"):
+        if events_impl() == "pallas":
+            # fused event kernel (ops/pallas_events.py): the per-channel
+            # temporaries are [nb]-sized (stride x smaller than the cell
+            # grid), so the whole bank runs unblocked
+            from tpuvc.dsp.dio import _bank_tracks
+            tracks = _bank_tracks(filtered, fs_d, n_1ms, hop_1ms_d)
+        elif cb >= c:
+            # one block covers the bank: skip the lax.map — a 1-step
+            # while still pays carried-buffer plumbing and blocks fusion
+            # with the neighboring stages
+            tracks = jax.vmap(track_one)(filtered)
+        else:
+            pad_c = (-c) % cb
+            blocks = jnp.pad(filtered, ((0, pad_c), (0, 0))).reshape(
+                (c + pad_c) // cb, cb, -1)
+            tracks = jax.lax.map(jax.vmap(track_one), blocks)
+            tracks = tracks.reshape(-1, 4, n_1ms)[:c]
+    with jax.named_scope("hv_merge"):
+        cand, dev = _channel_candidates(
+            tracks, jnp.asarray(bfs_t, jnp.float32), floor, ceil)
+        merged_v, _ = _merge_channels(cand, dev)             # [N, K]
     win = harvest_refine_window(fs, f0_floor)
     from tpuvc.ops.pallas_harmonics import harmonics_impl
     refine_fn = (_refine_and_score_fused if harmonics_impl() == "pallas"
                  else _refine_and_score)
-    refined, scores = refine_fn(x, merged_v, fs, fs // 1000,
-                                n_1ms, win, floor)
+    with jax.named_scope("hv_refine"):
+        refined, scores = refine_fn(x, merged_v, fs, fs // 1000,
+                                    n_1ms, win, floor)
 
-    best = jnp.argmax(scores, axis=-1)
-    f0 = jnp.take_along_axis(refined, best[:, None], axis=-1)[:, 0]
-    best_score = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
-    f0 = jnp.where(best_score > 0.0, f0, 0.0)
+    with jax.named_scope("hv_contour"):
+        best = jnp.argmax(scores, axis=-1)
+        f0 = jnp.take_along_axis(refined, best[:, None], axis=-1)[:, 0]
+        best_score = jnp.take_along_axis(scores, best[:, None],
+                                         axis=-1)[:, 0]
+        f0 = jnp.where(best_score > 0.0, f0, 0.0)
 
-    f0 = _guided_reselect(f0, refined, scores)
-    f0 = _fix_step1_scan(f0, HARVEST_STEP1_ALLOWED)
-    f0 = _fix_step_remove_short_runs(f0, HARVEST_VOICE_RANGE_MIN)
-    f0 = _extend_scan(f0, refined, HARVEST_EXTENSION_ALLOWED)
-    f0 = _extend_scan(f0[::-1], refined[::-1],
-                      HARVEST_EXTENSION_ALLOWED)[::-1]
-    f0 = _fix_step1_scan(f0, HARVEST_STEP1_ALLOWED)
-    f0 = _fix_step_remove_short_runs(f0, HARVEST_VOICE_RANGE_MIN)
-    f0 = _smooth(f0)
+        f0 = _guided_reselect(f0, refined, scores)
+        f0 = _fix_step1_scan(f0, HARVEST_STEP1_ALLOWED)
+        f0 = _fix_step_remove_short_runs(f0, HARVEST_VOICE_RANGE_MIN)
+        f0 = _extend_scan(f0, refined, HARVEST_EXTENSION_ALLOWED)
+        f0 = _extend_scan(f0[::-1], refined[::-1],
+                          HARVEST_EXTENSION_ALLOWED)[::-1]
+        f0 = _fix_step1_scan(f0, HARVEST_STEP1_ALLOWED)
+        f0 = _fix_step_remove_short_runs(f0, HARVEST_VOICE_RANGE_MIN)
+        f0 = _smooth(f0)
 
     step = (hop * 1000) // fs                                # ms per frame
     out = f0[:: step]
