@@ -45,23 +45,49 @@ def _boundary_f0s(f0_floor: float, f0_ceil: float) -> tuple[float, ...]:
 
 
 def _top2_max_scan(pair: tuple) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Prefix top-2 combine of sorted (largest, second) pairs — one scan."""
-    def op(x, y):
-        a1, a2 = x
-        b1, b2 = y
-        return (jnp.maximum(a1, b1),
-                jnp.maximum(jnp.minimum(a1, b1), jnp.maximum(a2, b2)))
-    return jax.lax.associative_scan(op, pair)
+    """Prefix top-2 of the union of sorted (largest, second) block pairs.
+
+    Formulated on `lax.cummax` instead of a pair-valued associative_scan:
+    the generic scan's odd/even lowering emits stride-2 slices + pads on
+    the minor axis at every level, which on TPU are cross-lane relayouts
+    — the round-4 xplane trace attributed 0.75 s of a 0.85 s harvest
+    event stage to exactly those ops (1116 slices + 674 pads at ~40-58
+    GB/s), while cummax lowers to XLA's native cumulative-reduce-window
+    path with no interleaved slicing.  Identity (exact, min/max only, so
+    bit-identical to the scan): with pre[j] = cummax(a1)[j-1] (-inf at 0),
+
+      p1 = cummax(a1)
+      p2 = max(cummax(min(a1, pre)), cummax(a2))
+
+    min(a1[j], pre[j]) never exceeds the prefix's second max (its two
+    witnesses are distinct elements) and equals it at the first position
+    where the overall runner-up is dominated, with multiplicity: a
+    duplicate max contributes itself via the min term.  a2 terms are
+    always <= the prefix second max (a2[j] <= a1[j], a separate element)
+    and supply it when the runner-up lives in the same block as the max.
+    """
+    a1, a2 = pair
+    p1 = jax.lax.cummax(a1, axis=0)
+    pre = jnp.concatenate([jnp.full_like(p1[:1], -jnp.inf), p1[:-1]])
+    p2 = jnp.maximum(jax.lax.cummax(jnp.minimum(a1, pre), axis=0),
+                     jax.lax.cummax(a2, axis=0))
+    return p1, p2
 
 
 def _top2_min_scan_rev(pair: tuple) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Suffix top-2-min combine of sorted (smallest, second) pairs."""
-    def op(x, y):
-        a1, a2 = x
-        b1, b2 = y
-        return (jnp.minimum(a1, b1),
-                jnp.minimum(jnp.maximum(a1, b1), jnp.minimum(a2, b2)))
-    return jax.lax.associative_scan(op, pair, reverse=True)
+    """Suffix bottom-2 of the union of sorted (smallest, second) pairs.
+
+    Mirror of _top2_max_scan (see its docstring for the derivation and
+    the TPU relayout rationale): reversed cummin with post[j] =
+    suffix-min over j+1.. (+inf at the end).
+    """
+    b1, b2 = pair
+    s1 = jax.lax.cummin(b1, axis=0, reverse=True)
+    post = jnp.concatenate([s1[1:], jnp.full_like(s1[:1], jnp.inf)])
+    s2 = jnp.minimum(
+        jax.lax.cummin(jnp.maximum(b1, post), axis=0, reverse=True),
+        jax.lax.cummin(b2, axis=0, reverse=True))
+    return s1, s2
 
 
 def _block_top2(v: jnp.ndarray, stride: int, nb: int, largest: bool
