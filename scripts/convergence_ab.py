@@ -42,15 +42,28 @@ def main() -> None:
     p.add_argument("--eval_every", type=int, default=5000)
     p.add_argument("--n_inner", type=int, default=100)
     p.add_argument("--n_train", type=int, default=50)
+    p.add_argument("--style", default="vowel", choices=["vowel", "hard"],
+                   help="corpus difficulty: 'hard' = stop bursts, formant "
+                        "glides, jitter/shimmer, variable speaking rate "
+                        "(data/synthetic.py synth_hard_utterance; use a "
+                        "fresh --root/--logdir per style)")
     p.add_argument("--platform", default=None)
     p.add_argument("--ab", default="model",
-                   choices=["model", "output_activation", "all"],
+                   choices=["model", "output_activation", "all", "critic",
+                            "alpha"],
                    help="which A/B to run: 'model' = VAWGAN vs VAE; "
                         "'output_activation' = tanh vs linear decoder "
                         "output on the VAE (VERDICT r3 item 2); 'all' = "
                         "three arms (VAWGAN, VAE-tanh, VAE-linear) sharing "
                         "the common VAE-tanh arm, results written to BOTH "
-                        "keys — one chip pass answers both A/Bs")
+                        "keys — one chip pass answers both A/Bs; "
+                        "'critic' = unconditional vs projection-"
+                        "conditioned critic (the SURVEY SS2.1 "
+                        "_discriminate(x, y?) open question, VERDICT r4 "
+                        "missing #1); 'alpha' = adversarial-weight sweep "
+                        "25/50/100 on the VAWGAN (VERDICT r4 item 3)")
+    p.add_argument("--alphas", default="25,50,100",
+                   help="arms for --ab alpha")
     args = p.parse_args()
 
     if args.platform:
@@ -68,8 +81,9 @@ def main() -> None:
     from tpuvc.utils.config import Architecture
 
     if not os.path.isdir(os.path.join(args.root, "wav")):
-        make_vcc2016_corpus(args.root, n_train=args.n_train, n_test=5)
-        print("[conv] corpus generated", flush=True)
+        make_vcc2016_corpus(args.root, n_train=args.n_train, n_test=5,
+                            style=args.style)
+        print(f"[conv] corpus generated (style={args.style})", flush=True)
     if not os.path.isdir(os.path.join(args.root, "bin")):
         analyze.main(["--corpus", args.root, "--quiet"]
                      + (["--platform", args.platform]
@@ -83,7 +97,7 @@ def main() -> None:
 
     base = Architecture.load("configs/architecture-vawgan-vcc2016.json")
     results: dict = {"steps": args.steps, "eval_every": args.eval_every,
-                     "ab": args.ab, "models": {}}
+                     "ab": args.ab, "style": args.style, "models": {}}
     if args.ab == "model":
         # critic's contribution at equal steps (VERDICT r2 item 5)
         arms = [("VAWGAN", {"model": "VAWGAN", "trainer": "VAWGANTrainer"}),
@@ -96,6 +110,18 @@ def main() -> None:
                           "output_activation": "tanh"}),
                 ("linear", {"model": "VAE", "trainer": "VAETrainer",
                             "output_activation": "linear"})]
+    elif args.ab == "critic":
+        # does the critic need the speaker code? (projection conditioning
+        # vs the unconditional parity default)
+        arms = [("uncond", {"model": "VAWGAN", "trainer": "VAWGANTrainer",
+                            "d_conditional": False}),
+                ("cond", {"model": "VAWGAN", "trainer": "VAWGANTrainer",
+                          "d_conditional": True})]
+    elif args.ab == "alpha":
+        arms = [(f"alpha{a}", {"model": "VAWGAN",
+                               "trainer": "VAWGANTrainer",
+                               "training": {"alpha": float(a)}})
+                for a in args.alphas.split(",")]
     else:
         # both A/Bs in one chip pass: the default-config VAE (tanh) arm
         # is shared — VAWGAN-vs-VAE answers the critic question on the
@@ -106,7 +132,13 @@ def main() -> None:
                 ("linear", {"model": "VAE", "trainer": "VAETrainer",
                             "output_activation": "linear"})]
     for model_name, overrides in arms:
+        overrides = dict(overrides)
+        train_over = overrides.pop("training", None)
         arch = dataclasses.replace(base, **overrides)
+        if train_over:
+            arch = dataclasses.replace(
+                arch, training=dataclasses.replace(arch.training,
+                                                   **train_over))
         run_dir = os.path.join(args.logdir, model_name.lower())
         os.makedirs(run_dir, exist_ok=True)
         arch.save(os.path.join(run_dir, "architecture.json"))
@@ -144,18 +176,21 @@ def main() -> None:
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "scale_validation.json")
     blob = json.load(open(out)) if os.path.exists(out) else {}
+    sfx = "_hard" if args.style == "hard" else ""
     if args.ab == "all":
         m = results["models"]
-        header = {k: results[k] for k in ("steps", "eval_every")}
-        blob["convergence_ab"] = dict(
+        header = {k: results[k] for k in ("steps", "eval_every", "style")}
+        blob["convergence_ab" + sfx] = dict(
             header, ab="model",
             models={"VAWGAN": m["VAWGAN"], "VAE": m["tanh"]})
-        blob["output_activation_ab"] = dict(
+        blob["output_activation_ab" + sfx] = dict(
             header, ab="output_activation",
             models={"tanh": m["tanh"], "linear": m["linear"]})
     else:
-        key = ("convergence_ab" if args.ab == "model"
-               else "output_activation_ab")
+        key = {"model": "convergence_ab",
+               "output_activation": "output_activation_ab",
+               "critic": "critic_conditioning_ab",
+               "alpha": "alpha_sweep"}[args.ab] + sfx
         blob[key] = results
     json.dump(blob, open(out, "w"), indent=2)
     print(json.dumps(results))

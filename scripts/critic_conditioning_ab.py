@@ -8,6 +8,12 @@ the same data/seed and records the training curves + conversion quality so
 STATUS.md can state which setting we ship as the parity default and why.
 
   python scripts/critic_conditioning_ab.py [--steps 600] [--platform cpu]
+
+NOTE (round 5): the DECISION-GRADE version of this A/B — 30k resident
+steps with MCD/DTW-MCD/GV/MS-hi milestones — runs as
+``python scripts/convergence_ab.py --ab critic`` and records into
+scale_validation.json "critic_conditioning_ab"; this script remains the
+quick per-step training-curve smoke.
 """
 
 from __future__ import annotations

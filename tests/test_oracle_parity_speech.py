@@ -30,7 +30,8 @@ from tests.oracle import (oracle_cheaptrick, oracle_d4c, oracle_dio,
                           oracle_stonemask)
 
 FS = 16000
-KINDS = ["sweep", "vibrato", "transitions", "low_f0", "breathy"]
+KINDS = ["sweep", "vibrato", "transitions", "low_f0", "breathy",
+         "jitter", "bursts"]      # jitter/bursts: round-5 adversarial
 
 
 @pytest.fixture(scope="module", params=KINDS)
@@ -99,6 +100,17 @@ def test_cheaptrick_parity_speech(speech_case, speech_oracle_f0):
     lj = 10 * np.log10(nj + 1e-30)
     d = np.abs(li - lj)
     dominant = (li - li.max(axis=1, keepdims=True)) > -20.0
+    # near-silent frames (signal-edge frames of the 'bursts' class: noise
+    # floor at ~1e-5 of the voiced power, window half off the signal)
+    # carry no spectral CONTENT to compare — their NORMALIZED f32-vs-f64
+    # spectra diverge by >10 dB on pure rounding (measured r5).  Parity
+    # is asserted on frames with real energy; silent frames only need to
+    # stay finite (synthesis multiplies them by ~zero ap-weighted noise).
+    energy = sp_o[:n].sum(1)
+    loud = energy > 1e-4 * energy.max()
+    assert loud.mean() > 0.6, f"{kind}: only {loud.mean():.2f} loud frames"
+    dominant &= loud[:, None]
+    assert np.isfinite(lj).all()
     assert d[dominant].mean() < 0.08, (
         f"{kind}: dominant mean {d[dominant].mean():.4f} dB")
     assert np.percentile(d[dominant], 99) < 0.6, (

@@ -65,11 +65,101 @@ def synth_utterance(rng: np.random.Generator, f0_base: float,
     return (0.4 * x / np.max(np.abs(x))).astype(np.float64)
 
 
+def synth_hard_utterance(rng: np.random.Generator, f0_base: float,
+                         formants: tuple[float, float], tilt_db: float,
+                         fs: int = 16000, dur_s: float = 1.5) -> np.ndarray:
+    """An ADVERSARIAL utterance: syllable train with stop bursts, formant
+    glides, f0 jitter + amplitude shimmer, and variable speaking rate.
+
+    VERDICT r4 missing #2: the vowel-like corpus (synth_utterance) is
+    stationary harmonic stacks — no plosives, no coarticulation, no
+    silence/speech transitions at realistic rates — so every quality
+    number carried an optimism bias.  This generator keeps the same
+    speaker identity knobs (f0 base, formant pair, tilt) but arranges
+    them as speech does:
+
+      - syllables of 60-220 ms voiced nuclei separated by 20-80 ms
+        closures (silence + noise floor), rate scaled per utterance by
+        a 0.7-1.4x speaking-rate factor;
+      - ~half the syllables onset with a plosive-like 6-12 ms broadband
+        burst after the closure (stop consonants);
+      - each nucleus GLIDES its formants from a random onset point to
+        the speaker's targets (diphthong/coarticulation), recomputing
+        the harmonic gains per sample;
+      - f0 carries a declination + random-walk contour with ~0.8%
+        per-period jitter; the amplitude carries ~6% shimmer.
+    """
+    n = int(fs * dur_s)
+    x = np.zeros(n)
+    rate = rng.uniform(0.7, 1.4)                 # speaking-rate factor
+    pos = int(rng.uniform(0.0, 0.04) * fs)
+    f1b, f2b = formants
+    while pos < n - int(0.05 * fs):
+        # closure (silence) then optional stop burst
+        closure = int(rng.uniform(0.02, 0.08) * rate * fs)
+        pos += closure
+        if rng.uniform() < 0.5 and pos < n - int(0.02 * fs):
+            blen = int(rng.uniform(0.006, 0.012) * fs)
+            blen = min(blen, n - pos)
+            burst = rng.standard_normal(blen)
+            burst *= np.exp(-np.arange(blen) / (0.003 * fs))   # sharp decay
+            x[pos:pos + blen] += 0.35 * burst
+            pos += blen + int(rng.uniform(0.003, 0.010) * fs)
+        # voiced nucleus with formant glide + jitter/shimmer
+        nlen = int(rng.uniform(0.06, 0.22) * rate * fs)
+        nlen = min(nlen, n - pos)
+        if nlen < int(0.03 * fs):
+            break
+        t = np.arange(nlen) / fs
+        # f0 contour: declination + slow random walk + fast jitter
+        walk = np.cumsum(rng.standard_normal(nlen)) / fs
+        jit = rng.standard_normal(nlen)
+        k = max(int(0.004 * fs), 1)              # ~1 pitch period smoothing
+        jit = np.convolve(jit, np.ones(k) / k, mode="same")
+        f0 = f0_base * (1.0 + rng.uniform(-0.08, 0.12)) \
+            * (1.0 - 0.06 * t / max(t[-1], 1e-6)) \
+            * (1.0 + 0.5 * walk) * (1.0 + 0.008 * jit)
+        f0 = np.clip(f0, 0.55 * f0_base, 1.8 * f0_base)
+        phase = 2 * np.pi * np.cumsum(f0) / fs
+        # formant glide: onset point -> speaker target over the nucleus
+        g1 = np.linspace(f1b * rng.uniform(0.6, 1.5), f1b, nlen)
+        g2 = np.linspace(f2b * rng.uniform(0.7, 1.4), f2b, nlen)
+        seg = np.zeros(nlen)
+        n_harm = int(6000 / f0_base)
+        for h in range(1, n_harm + 1):
+            fh = h * f0                           # [nlen] time-varying
+            g = (1.0 / (1.0 + ((fh - g1) / 300.0) ** 2)
+                 + 1.0 / (1.0 + ((fh - g2) / 300.0) ** 2))
+            g = (0.2 + g) * 10.0 ** (
+                tilt_db * np.log2(np.maximum(fh / f0_base, 1.0)) / 20.0)
+            seg += np.where(fh < 0.45 * fs,
+                            g / h ** 0.3 * np.sin(h * phase
+                                                  + rng.uniform(0, 2 * np.pi)),
+                            0.0)
+        # shimmer: slow multiplicative amplitude noise
+        sh = rng.standard_normal(nlen)
+        ks = max(int(0.01 * fs), 1)
+        sh = np.convolve(sh, np.ones(ks) / ks, mode="same")
+        seg *= 1.0 + 0.06 * sh / max(np.std(sh), 1e-9)
+        # 8 ms onset/offset ramps (release/decay, avoids clicks)
+        r = min(int(0.008 * fs), nlen // 2)
+        env = np.ones(nlen)
+        env[:r] = np.linspace(0, 1, r)
+        env[-r:] = np.linspace(1, 0, r)
+        x[pos:pos + nlen] += seg * env
+        pos += nlen
+    x += 0.008 * rng.standard_normal(n)          # breath-noise floor
+    peak = np.max(np.abs(x))
+    return (0.4 * x / max(peak, 1e-9)).astype(np.float64)
+
+
 def make_corpus(root: str, n_train: int = 6, n_test: int = 2,
                 fs: int = 16000, dur_s: float = 0.8, seed: int = 0,
-                speaker_defs: dict | None = None) -> None:
+                speaker_defs: dict | None = None,
+                style: str = "vowel") -> None:
     rng = np.random.default_rng(seed)
     defs = speaker_defs if speaker_defs is not None else SPEAKER_DEFS
+    synth = {"vowel": synth_utterance, "hard": synth_hard_utterance}[style]
     speakers = list(defs)
     corpus_io.write_speakers(os.path.join(root, "etc"), speakers)
     for split, count in ((corpus_io.TRAIN_SPLIT, n_train),
@@ -79,15 +169,17 @@ def make_corpus(root: str, n_train: int = 6, n_test: int = 2,
             d = os.path.join(root, "wav", split, spk)
             os.makedirs(d, exist_ok=True)
             for i in range(count):
-                x = synth_utterance(rng, f0b, formants, tilt, fs, dur_s)
+                x = synth(rng, f0b, formants, tilt, fs, dur_s)
                 write_wav(os.path.join(d, f"{100001 + i}.wav"), x, fs)
 
 
 def make_vcc2016_corpus(root: str, n_train: int = 50, n_test: int = 5,
                         fs: int = 16000, dur_s: float = 1.5,
-                        seed: int = 0) -> None:
+                        seed: int = 0, style: str = "vowel") -> None:
     """VCC2016-shaped validation corpus: 10 speakers, ~n_train utt each
     (the real challenge set is 10 x 162; this is the scale-validation
-    stand-in since the corpus itself is not downloadable here)."""
+    stand-in since the corpus itself is not downloadable here).
+    style="hard" builds the adversarial variant (stop bursts, glides,
+    jitter/shimmer, variable rate — synth_hard_utterance)."""
     make_corpus(root, n_train=n_train, n_test=n_test, fs=fs, dur_s=dur_s,
-                seed=seed, speaker_defs=VCC2016_SPEAKER_DEFS)
+                seed=seed, speaker_defs=VCC2016_SPEAKER_DEFS, style=style)
