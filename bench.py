@@ -177,9 +177,24 @@ def main() -> None:
     primary = {"int16": convert_i16, "pcm12": convert_p12,
                "ulaw8": convert_u8, "both": convert_u8}[encoding]
 
+    # TPUVC_AOT=1: serialize/reload the compiled executable keyed by the
+    # lowered module hash — skips the axon remote-compile service's
+    # 2-10 min latency on repeat runs (utils/aot_cache.py; round-5
+    # cross-process probe measured deserialize 0.04 s)
+    from tpuvc.utils import aot_cache
+    compile_wall = None
+    if aot_cache.enabled():
+        t0 = time.perf_counter()
+        primary = aot_cache.aot_cached(
+            primary, args, tag=f"bench-{encoding}-b{batch}-{dur_s}s")
+        compile_wall = round(time.perf_counter() - t0, 1)
+
     # warmup + compile; sync via host transfer (block_until_ready is not a
     # reliable fence on the experimental axon platform)
+    t0 = time.perf_counter()
     np.asarray(primary(*args))
+    if compile_wall is None:
+        compile_wall = round(time.perf_counter() - t0, 1)
 
     # latency: one call, synced
     lat = float("inf")
@@ -254,6 +269,8 @@ def main() -> None:
         "strategies": detail,
         "latency_s": round(lat, 4),
         "latency_x_realtime": round(audio_seconds / lat, 2),
+        "compile_wall_s": compile_wall,
+        "aot_cache": aot_cache.enabled(),
         "device": str(jax.devices()[0]),
     }
     result.update(out)

@@ -135,6 +135,23 @@ def report(trace_dir: str, top_n: int = 30) -> None:
         print(f"  {us / 1e6:8.4f} s  {100.0 * us / total_us:5.1f}%  "
               f"{bw:7.1f} GB/s  {name[:40]:40s} {scope}")
 
+    # attribute the 'other' bucket (round-5: it was 23% of the harvest
+    # call with no stage tag) — print ITS top ops with the full tf_op
+    # scope so the untagged time can be assigned to a pipeline stage
+    print("\n== top 'other' (untagged) ops ==")
+    shown = 0
+    for name, us in per_op.most_common():
+        tf_op = op_scope.get(name, "")
+        low = (name + " " + tf_op).lower()
+        if next((s for s in STAGES if s in low), None):
+            continue
+        bw = op_bytes[name] / max(us, 1e-9) / 1e3
+        print(f"  {us / 1e6:8.4f} s  {100.0 * us / total_us:5.1f}%  "
+              f"{bw:7.1f} GB/s  {name[:36]:36s} {tf_op[-60:]}")
+        shown += 1
+        if shown >= 25:
+            break
+
 
 def main() -> None:
     p = argparse.ArgumentParser()

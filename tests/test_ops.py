@@ -516,3 +516,118 @@ def test_mcd_dtw_absorbs_time_warp():
     aligned = mcd_dtw(base, warped, 16000)
     assert aligned < 0.35 * framewise, (aligned, framewise)
     assert aligned < 1.0, aligned
+
+
+def test_adaptive_width_harmonic_dft_matches_full_width():
+    """adaptive_width=True (per tile-slot lax.switch onto the narrowest
+    centered sub-width containing every valid candidate's window) ==
+    adaptive_width=False (always full width), interpret mode, for
+    candidates spanning every width branch, empty slots, mixed-width
+    tiles, and width-threshold edge values.  Masked lanes outside a
+    candidate's window are exact zeros, so only reduction-tree
+    association differs (round-5 refinement optimization)."""
+    import jax.numpy as jnp
+
+    from tpuvc.ops.pallas_harmonics import _widths, harmonic_dft_pallas
+
+    fs, w, n, k = 16000, 768, 96, 6
+    assert _widths(w) == (768, 384, 256, 128)
+    # largest f0 whose window still fits width wb: half_len <= wb/2 - 2
+    # <=> f0 >= 1.5*fs / (wb/2 - 3)
+    thr = {wb: 1.5 * fs / (wb / 2.0 - 3.0) for wb in (384, 256, 128)}
+    rng = np.random.default_rng(3)
+    seg = jnp.asarray(rng.standard_normal((n, w)), jnp.float32)
+    f0 = np.zeros((n, k), np.float32)
+    f0[:, 0] = rng.uniform(71.0, 800.0, n)        # every branch
+    f0[:32, 1] = rng.uniform(80.0, 126.0, 32)     # widest-only tile
+    f0[32:64, 1] = rng.uniform(400.0, 790.0, 32)  # narrowest-only tile
+    f0[::3, 2] = rng.uniform(130.0, 190.0, (n + 2) // 3)  # half-empty
+    # exact thresholds: fits the narrower branch (hl_max <= thr)
+    f0[:3, 3] = [thr[384], thr[256], thr[128]]
+    # one low-f0 row per tile forces the whole tile-slot wide: the
+    # other rows' values must still match the full-width pass exactly
+    f0[:, 4] = rng.uniform(300.0, 700.0, n)
+    f0[::32, 4] = 75.0
+    f0 = jnp.asarray(f0)                           # slot 5 fully empty
+
+    for with_if in (True, False):
+        got = harmonic_dft_pallas(seg, f0, fs, n_harm=6, with_if=with_if,
+                                  skip_empty=True, interpret=True,
+                                  adaptive_width=True)
+        ref = harmonic_dft_pallas(seg, f0, fs, n_harm=6, with_if=with_if,
+                                  skip_empty=False, interpret=True,
+                                  adaptive_width=False)
+        names = ("xre", "xim", "dre", "dim", "energy")
+        mask = np.asarray(f0) > 0.0
+        for name, g, r in zip(names, got, ref):
+            if g is None:
+                assert not with_if
+                continue
+            g, r = np.asarray(g), np.asarray(r)
+            m = mask if g.ndim == 2 else mask[..., None]
+            np.testing.assert_allclose(np.where(m, g, 0.0),
+                                       np.where(m, r, 0.0),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{name} with_if={with_if}")
+
+
+def test_aot_cache_round_trip(tmp_path):
+    """aot_cached compiles once, persists the executable, and a second
+    PROCESS (fresh jit fn, same module) loads it from the cache with
+    identical results (utils/aot_cache.py — the axon remote-compile
+    mitigation, VERDICT r4 item 7).  Runs in 1-device subprocesses: a
+    deserialized executable does not re-shard for a multi-device
+    process, and aot_cached refuses to cache there (also asserted)."""
+    import os
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.utils.aot_cache import aot_cached
+
+    # multi-device guard: falls back to a plain compile, still correct
+    def f(x):
+        return jnp.tanh(x @ x.T).sum(axis=1)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 64)),
+                    jnp.float32)
+    c = aot_cached(jax.jit(f), (x,), tag="t", cache_dir=str(tmp_path),
+                   verbose=False)
+    want = np.asarray(c(x))
+    assert not os.listdir(tmp_path), "multi-device process must not cache"
+
+    worker = tmp_path / "w.py"
+    worker.write_text("""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from tpuvc.utils.aot_cache import aot_cached
+
+def f(x):
+    return jnp.tanh(x @ x.T).sum(axis=1)
+
+x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 64)),
+                jnp.float32)
+c = aot_cached(jax.jit(f), (x,), tag="t", cache_dir=sys.argv[1])
+np.save(sys.argv[2], np.asarray(c(x)))
+""")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.update({"JAX_PLATFORMS": "cpu", "XLA_FLAGS": ""})  # 1 device
+    outs = []
+    for i in range(2):
+        out = str(tmp_path / f"o{i}.npy")
+        r = subprocess.run([sys.executable, str(worker), str(tmp_path),
+                            out], env=env, capture_output=True, text=True,
+                           timeout=240)
+        assert r.returncode == 0, r.stdout + r.stderr
+        outs.append((np.load(out), r.stdout))
+    assert "compiled + cached" in outs[0][1], outs[0][1]
+    assert "loaded cached executable" in outs[1][1], outs[1][1]
+    np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[0][0], want, rtol=1e-5)

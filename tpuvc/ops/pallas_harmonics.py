@@ -40,7 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuvc.ops.pallas_window import use_pallas
 
 _TILE = 32   # frames per program: [32, 1024] f32 seg = 128 KB; ~14 live
-#   [T, W] temps per candidate slot ~ 1.8 MB VMEM — comfortably resident
+#   [T, W] temps per candidate slot ~ 1.8 MB VMEM — comfortably resident.
+#   Round-5 microbench (chip): ISOLATED kernel time is tile-size-
+#   insensitive (26.8/26.9 ms at 32/128), but tile=128 in the FULL
+#   harvest pipeline measured 303x vs 351x at tile=32 (denser real
+#   candidate columns defeat the coarser skip granularity) — 32 stays.
 
 
 def harmonics_impl() -> str:
@@ -65,6 +69,21 @@ def harmonics_impl() -> str:
     if forced in ("xla", "pallas"):
         return forced   # honored verbatim (off-TPU pallas = interpreter)
     return "pallas" if use_pallas() else "xla"
+
+
+def _widths(w: int) -> tuple[int, ...]:
+    """Descending lane-multiple sub-widths of w for the adaptive-width
+    switch (768 -> [768, 384, 256, 128]).  A slot whose widest candidate
+    window half-length fits wb/2 - 2 runs on the centered [*, wb] slice
+    of the VMEM tile: masked lanes are exact zeros, so narrowing changes
+    only reduction-tree association (~1 ulp)."""
+    out = [w]
+    while out[-1] > 128:
+        nxt = -(-(out[-1] // 2) // 128) * 128
+        if nxt >= out[-1]:
+            break
+        out.append(nxt)
+    return tuple(out)
 
 
 def _slot(seg, base, f0, fs, n_harm, with_if, w):
@@ -114,17 +133,43 @@ def _slot(seg, base, f0, fs, n_harm, with_if, w):
 
 def _kernel(f0_ref, seg_ref, xre_ref, xim_ref, dre_ref, dim_ref, en_ref,
             *, fs: float, w: int, k_slots: int, n_harm: int,
-            with_if: bool, skip_empty: bool):
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-    base = (col - w // 2).astype(jnp.float32)
+            with_if: bool, skip_empty: bool, adaptive_width: bool):
     seg = seg_ref[:]
     h = n_harm
+    widths = _widths(w) if adaptive_width else (w,)
+    # branch b computes on the CENTERED [T, wb] slice of the resident
+    # tile — base = col - wb//2 aligns exactly with the wide tile's
+    # base on those columns, and any lane the slot's windows can touch
+    # is inside the slice by the branch-selection bound below
+    branches = []
+    for wb in widths:
+        off = (w - wb) // 2
+        colb = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1)
+        baseb = (colb - wb // 2).astype(jnp.float32)
+
+        def compute(f0c, _wb=wb, _off=off, _base=baseb):
+            return _slot(seg[:, _off:_off + _wb], _base, f0c, fs,
+                         n_harm, with_if, _wb)
+
+        branches.append(compute)
+    # max half-window any VALID candidate in this tile-slot needs;
+    # fits width wb iff half_len <= wb/2 - 2 (the -2 keeps the
+    # derivative window's [i-1, i+1] neighborhood inside the slice).
+    # Rows with f0 <= 0 produce unspecified values either way (the
+    # skip_empty contract), so they don't constrain the width.
+    thrs = [wb / 2.0 - 2.0 for wb in widths[1:]]
     for k in range(k_slots):
         f0k = f0_ref[:, k: k + 1]                            # [T, 1]
         f0c = jnp.maximum(f0k, 1.0)
 
-        def compute(_):
-            return _slot(seg, base, f0c, fs, n_harm, with_if, w)
+        def compute_adaptive(_):
+            if len(widths) == 1:
+                return branches[0](f0c)
+            hl = jnp.where(f0k > 0.0,
+                           jnp.floor(1.5 * fs / f0c + 1.0), 0.0)
+            hl_max = jnp.max(hl)
+            idx = sum((hl_max <= t).astype(jnp.int32) for t in thrs)
+            return jax.lax.switch(idx, branches, f0c)
 
         if skip_empty:
             t = seg.shape[0]
@@ -140,9 +185,9 @@ def _kernel(f0_ref, seg_ref, xre_ref, xim_ref, dre_ref, dim_ref, en_ref,
             # regions fill slots in order, so high slots are usually
             # empty) -> skip the whole [T, W] pass for it
             xre, xim, dre, dim_, en = jax.lax.cond(
-                jnp.any(f0k > 0.0), compute, empty, 0)
+                jnp.any(f0k > 0.0), compute_adaptive, empty, 0)
         else:
-            xre, xim, dre, dim_, en = compute(0)
+            xre, xim, dre, dim_, en = compute_adaptive(0)
         xre_ref[:, k * h:(k + 1) * h] = xre
         xim_ref[:, k * h:(k + 1) * h] = xim
         if with_if:
@@ -157,10 +202,12 @@ def _kernel(f0_ref, seg_ref, xre_ref, xim_ref, dre_ref, dim_ref, en_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "n_harm", "with_if",
-                                             "skip_empty", "interpret"))
+                                             "skip_empty", "interpret",
+                                             "adaptive_width", "tile"))
 def harmonic_dft_pallas(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
                         n_harm: int = 6, with_if: bool = True,
-                        skip_empty: bool = False, interpret: bool = False):
+                        skip_empty: bool = False, interpret: bool = False,
+                        adaptive_width: bool = False, tile: int = _TILE):
     """Fused windowed harmonic DFT for all frames and candidate slots.
 
     seg [N, W] raw frame-centered samples (W a lane multiple); f0 [N, K]
@@ -168,6 +215,22 @@ def harmonic_dft_pallas(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
     empty slots are unspecified when ``skip_empty`` — mask downstream).
     Returns (x_re, x_im, d_re, d_im, energy): x_* [N, K, n_harm], energy
     [N, K].  d_* are zeros when ``with_if`` is False.
+
+    ``adaptive_width``: per (tile, slot), a lax.switch runs the pass on
+    the narrowest centered sub-width of the tile that contains every
+    valid candidate's window (a 400 Hz candidate only lights ~120 of
+    768 lanes).  Numerically identical up to reduction-tree
+    association.  MEASURED-NEGATIVE OPT-IN (2026-08-19, chip): the
+    isolated kernel is 15% faster (22.7 vs 26.8 ms on a plausible
+    candidate grid), but the FULL harvest pipeline is slower in every
+    variant tried — adaptive@tile32 341x (+ a pathological 537 s
+    Mosaic compile), adaptive@tile128 303x, and per-width BUCKETS
+    across separate kernel calls 258x, vs 351x for this fixed-width
+    default (real merged-candidate columns are denser and less
+    frequency-stable than the microbench grid; slot columns shift as
+    channels churn, so narrowing rarely engages while the switch costs
+    every tile-slot).  Kept as an opt-in with its measurements per the
+    repo's experimental-residue convention.
     """
     n, w = seg.shape
     k_slots = f0.shape[-1]
@@ -181,7 +244,8 @@ def harmonic_dft_pallas(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
     xre, xim, dre, dim_, en = pl.pallas_call(
         functools.partial(_kernel, fs=float(fs), w=w, k_slots=k_slots,
                           n_harm=n_harm, with_if=with_if,
-                          skip_empty=skip_empty),
+                          skip_empty=skip_empty,
+                          adaptive_width=adaptive_width),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TILE, k_slots), lambda i: (i, 0),
@@ -215,3 +279,5 @@ def harmonic_dft_pallas(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
         else (None, None)
     return (xre[:n].reshape(shp), xim[:n].reshape(shp), *out_d,
             en[:n])
+
+
