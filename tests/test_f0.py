@@ -296,3 +296,90 @@ def test_edge_hold_duplicate_event_degeneracy():
     ok = track([24.0, 40.0])
     np.testing.assert_allclose(ok, np.full(n_frames, fs_d / 16.0),
                                rtol=2e-7)
+
+
+def test_remove_short_runs_matches_run_semantics():
+    """The cumsum morphological-opening formulation (round 5: replaces
+    segment_sum + double gather — scatter/gather are the TPU slow path)
+    is EXACT against a direct run-length reference, including m > n,
+    m = 1, and all-voiced/all-unvoiced edges."""
+    import jax.numpy as jnp
+
+    from tpuvc.dsp.dio import _fix_step_remove_short_runs
+
+    def ref(f0, m):
+        f0 = np.asarray(f0).copy()
+        v = f0 > 0
+        i, n = 0, len(f0)
+        while i < n:
+            if v[i]:
+                j = i
+                while j < n and v[j]:
+                    j += 1
+                if j - i < m:
+                    f0[i:j] = 0.0
+                i = j
+            else:
+                i += 1
+        return f0
+
+    rng = np.random.default_rng(0)
+    for trial in range(120):
+        n = int(rng.integers(5, 60))
+        m = int(rng.integers(1, 14))
+        f0 = np.where(rng.random(n) < 0.5,
+                      rng.uniform(50, 500, n), 0.0).astype(np.float32)
+        got = np.asarray(_fix_step_remove_short_runs(jnp.asarray(f0), m))
+        np.testing.assert_array_equal(got, ref(f0, m),
+                                      err_msg=f"{trial} n={n} m={m}")
+    for edge in (np.zeros(10, np.float32), np.full(10, 100.0, np.float32)):
+        got = np.asarray(_fix_step_remove_short_runs(jnp.asarray(edge), 9))
+        np.testing.assert_array_equal(got, ref(edge, 9))
+
+
+def test_blocked_contour_recurrences_match_flat_scans():
+    """The blocked _ffill (bitwise) and blocked _biquad (<=1e-5 rel —
+    the linear state decomposition reassociates f32 adds) match flat
+    sequential references at block-boundary-straddling sizes (round 5:
+    a flat 4000-step lax.scan is the hv_contour bottleneck)."""
+    import jax.numpy as jnp
+
+    import tpuvc.dsp.harvest as hv
+
+    def ffill_ref(v, m):
+        out = np.empty_like(v)
+        c = v[0]
+        for i in range(len(v)):
+            if m[i]:
+                c = v[i]
+            out[i] = c
+        return out
+
+    def biquad_ref(v):
+        b0, b1, b2 = hv.HARVEST_SMOOTH_B
+        a1, a2 = hv.HARVEST_SMOOTH_A1, hv.HARVEST_SMOOTH_A2
+        x1 = x2 = y1 = y2 = np.float32(v[0])
+        out = np.empty_like(v)
+        for i, xi in enumerate(v):
+            yi = np.float32(b0 * xi + b1 * x1 + b2 * x2
+                            - a1 * y1 - a2 * y2)
+            out[i] = yi
+            x2, x1, y2, y1 = x1, xi, y1, yi
+        return out
+
+    rng = np.random.default_rng(1)
+    for n in (5, 127, 128, 129, 1000, 4001):
+        v = rng.uniform(60, 400, n).astype(np.float32)
+        m = rng.random(n) < 0.4
+        got = np.asarray(hv._ffill(jnp.asarray(v), jnp.asarray(m)))
+        np.testing.assert_array_equal(got, ffill_ref(v, m),
+                                      err_msg=f"ffill n={n}")
+        gb = np.asarray(hv._biquad(jnp.asarray(v)))
+        rb = biquad_ref(v)
+        rel = np.abs(gb - rb) / np.maximum(np.abs(rb), 1e-6)
+        assert rel.max() < 1e-5, (n, rel.max())
+    # mask never true / first-element semantics
+    v = rng.uniform(60, 400, 50).astype(np.float32)
+    none = np.zeros(50, bool)
+    got = np.asarray(hv._ffill(jnp.asarray(v), jnp.asarray(none)))
+    np.testing.assert_array_equal(got, np.full(50, v[0]))

@@ -553,10 +553,10 @@ def test_adaptive_width_harmonic_dft_matches_full_width():
     for with_if in (True, False):
         got = harmonic_dft_pallas(seg, f0, fs, n_harm=6, with_if=with_if,
                                   skip_empty=True, interpret=True,
-                                  adaptive_width=True)
+                                  adaptive_width=True, fold=False)
         ref = harmonic_dft_pallas(seg, f0, fs, n_harm=6, with_if=with_if,
                                   skip_empty=False, interpret=True,
-                                  adaptive_width=False)
+                                  adaptive_width=False, fold=False)
         names = ("xre", "xim", "dre", "dim", "energy")
         mask = np.asarray(f0) > 0.0
         for name, g, r in zip(names, got, ref):
@@ -631,3 +631,45 @@ np.save(sys.argv[2], np.asarray(c(x)))
     assert "loaded cached executable" in outs[1][1], outs[1][1]
     np.testing.assert_allclose(outs[1][0], outs[0][0], rtol=1e-6)
     np.testing.assert_allclose(outs[0][0], want, rtol=1e-5)
+
+
+def test_folded_harmonic_dft_matches_unfolded():
+    """fold=True (even/odd symmetry decomposition at half the lanes) ==
+    fold=False on every valid candidate row, interpret mode, both
+    with_if settings.  The window/cos are even in base and the
+    derivative window/sin odd, so the reductions decompose exactly over
+    the folded halves; only reduction-tree association differs.  Rows
+    below fold_floor are unspecified (the callers clamp)."""
+    import jax.numpy as jnp
+
+    from tpuvc.ops.pallas_harmonics import fold_floor, harmonic_dft_pallas
+
+    fs, w, n, k = 16000, 768, 64, 4
+    c0 = fold_floor(w, fs)
+    rng = np.random.default_rng(5)
+    seg = jnp.asarray(rng.standard_normal((n, w)), jnp.float32)
+    f0 = np.zeros((n, k), np.float32)
+    f0[:, 0] = rng.uniform(c0 + 0.5, 800.0, n)      # full valid range
+    f0[::2, 1] = rng.uniform(64.0, 90.0, (n + 1) // 2)   # near the floor
+    f0[:, 2] = c0 + 1e-3                             # just above the fold floor
+    f0 = jnp.asarray(f0)                             # slot 3 empty
+
+    for with_if in (True, False):
+        got = harmonic_dft_pallas(seg, f0, fs, n_harm=6, with_if=with_if,
+                                  skip_empty=True, interpret=True,
+                                  fold=True)
+        ref = harmonic_dft_pallas(seg, f0, fs, n_harm=6, with_if=with_if,
+                                  skip_empty=False, interpret=True,
+                                  fold=False)
+        mask = np.asarray(f0) > 0.0
+        for name, g, r in zip(("xre", "xim", "dre", "dim", "en"),
+                              got, ref):
+            if g is None:
+                assert not with_if
+                continue
+            g, r = np.asarray(g), np.asarray(r)
+            m = mask if g.ndim == 2 else mask[..., None]
+            np.testing.assert_allclose(np.where(m, g, 0.0),
+                                       np.where(m, r, 0.0),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"{name} with_if={with_if}")

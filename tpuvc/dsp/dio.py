@@ -323,14 +323,27 @@ def _fix_step_remove_jumps(f0: jnp.ndarray, allowed: float) -> jnp.ndarray:
 
 
 def _fix_step_remove_short_runs(f0: jnp.ndarray, min_len: int) -> jnp.ndarray:
-    v = f0 > 0
-    prev_v = jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]])
-    edge = v & ~prev_v
-    group = jnp.cumsum(edge.astype(jnp.int32)) - 1   # -1 before first run
-    n = f0.shape[0]
-    run_len = jax.ops.segment_sum(v.astype(jnp.int32),
-                                  jnp.maximum(group, 0), num_segments=n)
-    keep = v & (run_len[jnp.maximum(group, 0)] >= min_len)
+    """Zero voiced runs shorter than min_len frames.
+
+    A frame survives iff it sits inside >= min_len consecutive voiced
+    frames, i.e. some length-min_len all-voiced window contains it —
+    morphological opening.  Both passes are integer-cumsum window sums
+    (EXACT): erode[j] = 1 iff v[j..j+m-1] all voiced; keep[i] = any
+    erode[j], j in [i-m+1, i].  Replaces the round-1 segment_sum +
+    double-gather formulation — scatter/gather are the slow path on TPU
+    (CLAUDE.md), and this is pure shifts + cumsums.
+    """
+    m = min_len
+    if m > f0.shape[0]:          # no window fits: every run is short
+        return jnp.zeros_like(f0)
+    v = (f0 > 0).astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(v)])
+    erode = (cs[m:] - cs[:-m] == m).astype(jnp.int32)   # [n-m+1]
+    # dilate back: keep[i] = any erode[j], j in [i-m+1, i] — pad so the
+    # window is a STATIC cumsum-difference slice (no gathers)
+    ep = jnp.pad(erode, (m - 1, m - 1))
+    ce = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(ep)])
+    keep = (ce[m:] - ce[:-m]) > 0                        # [n]
     return jnp.where(keep, f0, 0.0)
 
 

@@ -50,7 +50,15 @@ def _refine_once(raw_seg: jnp.ndarray, f0: jnp.ndarray,
     The phase origin cancels in both |X| and Im(X* D), so the DFT is
     referenced at the window center.
     """
-    f0s = jnp.maximum(f0, 1.0)
+    # clamp unvoiced placeholders to the FOLD floor (round-5): both this
+    # path and the kernel twin window rows at >= fold_floor so the
+    # even/odd-folded kernel (half-width lanes) matches exactly.  Real
+    # DIO f0 is >= 71 Hz when voiced and the 20% StoneMask gate keeps
+    # any kept pass-1 output >= 56.8 Hz — far above the ~47 Hz clamp at
+    # _FFT_SIZE=1024 — so only DISCARDED rows changed vs the old
+    # max(f0, 1.0) placeholder.
+    from tpuvc.ops.pallas_harmonics import fold_floor
+    f0s = jnp.maximum(f0, fold_floor(_FFT_SIZE, float(fs)))
     half_len = (1.5 * fs / f0s + 1.0).astype(jnp.int32)        # [N]
     w = _FFT_SIZE // 2
     base = jnp.arange(_FFT_SIZE, dtype=jnp.int32) - w          # [-W/2, W/2)
@@ -111,8 +119,9 @@ def _refine_once_fused(raw_seg: jnp.ndarray, f0: jnp.ndarray,
     IF average runs on the tiny [N, H] outputs.  Same formulation — the
     trig recurrence and gating match _refine_once to reduction-order
     rounding (equivalence pinned by tests/test_ops.py)."""
-    from tpuvc.ops.pallas_harmonics import harmonic_dft_pallas, use_pallas
-    f0s = jnp.maximum(f0, 1.0)
+    from tpuvc.ops.pallas_harmonics import (fold_floor,
+                                            harmonic_dft_pallas, use_pallas)
+    f0s = jnp.maximum(f0, fold_floor(raw_seg.shape[-1], float(fs)))
     xre, xim, dre, dim_, _ = harmonic_dft_pallas(
         raw_seg, f0s[:, None], fs, n_harm=STONEMASK_NUM_HARMONICS,
         with_if=True, interpret=not use_pallas())

@@ -41,10 +41,9 @@ from tpuvc.ops.pallas_window import use_pallas
 
 _TILE = 32   # frames per program: [32, 1024] f32 seg = 128 KB; ~14 live
 #   [T, W] temps per candidate slot ~ 1.8 MB VMEM — comfortably resident.
-#   Round-5 microbench (chip): ISOLATED kernel time is tile-size-
-#   insensitive (26.8/26.9 ms at 32/128), but tile=128 in the FULL
-#   harvest pipeline measured 303x vs 351x at tile=32 (denser real
-#   candidate columns defeat the coarser skip granularity) — 32 stays.
+#   Round-5: tile=128 (via this constant) in the FULL harvest pipeline
+#   measured 303x vs 351x at tile=32 — denser real candidate columns
+#   defeat the coarser skip_empty granularity — so 32 stays.
 
 
 def harmonics_impl() -> str:
@@ -84,6 +83,81 @@ def _widths(w: int) -> tuple[int, ...]:
             break
         out.append(nxt)
     return tuple(out)
+
+
+def fold_floor(w: int, fs: float) -> float:
+    """Lowest f0 whose window fits the folded half-width w//2: the fold
+    drops the unpaired base=-w/2 column, exact iff
+    floor(1.5*fs/f0 + 1) <= w//2 - 2 (round-5; see _slot_folded)."""
+    return 1.5 * fs / (w // 2 - 3)
+
+
+def _fold_eo(seg: jnp.ndarray) -> jnp.ndarray:
+    """[.., W] frame-centered segments -> [.., W] (even | odd) halves.
+
+    e[b] = seg[c+b] + seg[c-b] (b>=1), e[0] = seg[c];
+    o[b] = seg[c+b] - seg[c-b], o[0] = 0; c = W//2, b in [0, c).
+    The Blackman window and cos are EVEN in base = col - c, the
+    derivative window and sin ODD, so every refinement reduction
+    decomposes over (e, o) at HALF the lanes (round-5: the kernel is
+    VPU-bound on per-lane trig+multiplies).  The unpaired base=-c
+    column is dropped — exact for any candidate with
+    floor(1.5*fs/f0+1) <= c-2 (callers clamp f0 >= fold_floor(W, fs);
+    values for sub-floor rows are unspecified, matching the
+    skip_empty contract)."""
+    c = seg.shape[-1] // 2
+    right = seg[..., c:]                      # seg[c + b]
+    left = seg[..., 1:c + 1][..., ::-1]       # seg[c - b]
+    e = right + left
+    e = jnp.concatenate([0.5 * e[..., :1], e[..., 1:]], axis=-1)
+    return jnp.concatenate([e, right - left], axis=-1)
+
+
+def _slot_folded(e, o, b, f0, fs, n_harm, with_if, wh):
+    """Folded-pass reductions for one candidate column (f0 [T, 1],
+    pre-clamped >= fold_floor): e/o [T, wh] even/odd segment halves,
+    b [1, wh] = 0..wh-1.  Matches _slot to reduction-order rounding."""
+    half_len = jnp.floor(1.5 * fs / f0 + 1.0)
+    mask = b <= half_len
+    phase = (2.0 * jnp.pi / (3.0 * fs)) * f0 * b
+    cp = jnp.cos(phase)
+    sp = jnp.sin(phase)
+    win = jnp.where(mask,
+                    0.42 + 0.5 * cp + 0.08 * (2.0 * cp * cp - 1.0), 0.0)
+    # the mask must hit the SEGMENT too: dwin is nonzero one sample
+    # OUTSIDE the window boundary (win[hl] - 0 difference) and the
+    # unfolded path kills that term through its masked seg copy
+    em = jnp.where(mask, e, 0.0)
+    om = jnp.where(mask, o, 0.0)
+    we = em * win
+    wo = om * win
+    h0 = jnp.where(b == 0.0, 1.0, 0.5)
+    en = jnp.sum(h0 * (we * we + wo * wo), axis=-1, keepdims=True)
+    if with_if:
+        col = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+        edge = (col == 0) | (col >= wh - 1)
+        dwin = jnp.where(edge, 0.0,
+                         -0.5 * (pltpu.roll(win, wh - 1, axis=1)
+                                 - pltpu.roll(win, 1, axis=1)))
+        de = em * dwin
+        do_ = om * dwin
+    c1 = cp * (4.0 * cp * cp - 3.0)
+    s1 = sp * (3.0 - 4.0 * sp * sp)
+    ch, sh = c1, s1
+    xre, xim, dre, dim_ = [], [], [], []
+    for h in range(n_harm):
+        if h:
+            ch, sh = ch * c1 - sh * s1, sh * c1 + ch * s1
+        xre.append(jnp.sum(we * ch, axis=-1, keepdims=True))
+        xim.append(-jnp.sum(wo * sh, axis=-1, keepdims=True))
+        if with_if:
+            dre.append(jnp.sum(do_ * ch, axis=-1, keepdims=True))
+            dim_.append(-jnp.sum(de * sh, axis=-1, keepdims=True))
+    cat = lambda v: jnp.concatenate(v, axis=1)               # [T, H]
+    if with_if:
+        return cat(xre), cat(xim), cat(dre), cat(dim_), en
+    z = jnp.zeros_like(xre[0])
+    return cat(xre), cat(xim), z, z, en
 
 
 def _slot(seg, base, f0, fs, n_harm, with_if, w):
@@ -133,9 +207,18 @@ def _slot(seg, base, f0, fs, n_harm, with_if, w):
 
 def _kernel(f0_ref, seg_ref, xre_ref, xim_ref, dre_ref, dim_ref, en_ref,
             *, fs: float, w: int, k_slots: int, n_harm: int,
-            with_if: bool, skip_empty: bool, adaptive_width: bool):
+            with_if: bool, skip_empty: bool, adaptive_width: bool,
+            fold: bool):
     seg = seg_ref[:]
     h = n_harm
+    if fold:
+        # seg block = (even | odd) halves from _fold_eo; half the lanes
+        wh = w // 2
+        e_half = seg[:, :wh]
+        o_half = seg[:, wh:]
+        b_half = jax.lax.broadcasted_iota(
+            jnp.int32, (1, wh), 1).astype(jnp.float32)
+        c0 = fold_floor(w, fs)
     widths = _widths(w) if adaptive_width else (w,)
     # branch b computes on the CENTERED [T, wb] slice of the resident
     # tile — base = col - wb//2 aligns exactly with the wide tile's
@@ -160,9 +243,13 @@ def _kernel(f0_ref, seg_ref, xre_ref, xim_ref, dre_ref, dim_ref, en_ref,
     thrs = [wb / 2.0 - 2.0 for wb in widths[1:]]
     for k in range(k_slots):
         f0k = f0_ref[:, k: k + 1]                            # [T, 1]
-        f0c = jnp.maximum(f0k, 1.0)
+        f0c = (jnp.maximum(f0k, c0) if fold
+               else jnp.maximum(f0k, 1.0))
 
         def compute_adaptive(_):
+            if fold:
+                return _slot_folded(e_half, o_half, b_half, f0c, fs,
+                                    n_harm, with_if, wh)
             if len(widths) == 1:
                 return branches[0](f0c)
             hl = jnp.where(f0k > 0.0,
@@ -203,11 +290,13 @@ def _kernel(f0_ref, seg_ref, xre_ref, xim_ref, dre_ref, dim_ref, en_ref,
 
 @functools.partial(jax.jit, static_argnames=("fs", "n_harm", "with_if",
                                              "skip_empty", "interpret",
-                                             "adaptive_width", "tile"))
+                                             "adaptive_width", "tile",
+                                             "fold"))
 def harmonic_dft_pallas(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
                         n_harm: int = 6, with_if: bool = True,
                         skip_empty: bool = False, interpret: bool = False,
-                        adaptive_width: bool = False, tile: int = _TILE):
+                        adaptive_width: bool = False, tile: int = _TILE,
+                        fold: bool = True):
     """Fused windowed harmonic DFT for all frames and candidate slots.
 
     seg [N, W] raw frame-centered samples (W a lane multiple); f0 [N, K]
@@ -232,37 +321,40 @@ def harmonic_dft_pallas(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
     every tile-slot).  Kept as an opt-in with its measurements per the
     repo's experimental-residue convention.
     """
+    if fold and adaptive_width:
+        raise ValueError("fold and adaptive_width are mutually exclusive")
     n, w = seg.shape
     k_slots = f0.shape[-1]
-    pad = (-n) % _TILE
+    pad = (-n) % tile
+    seg = _fold_eo(seg.astype(jnp.float32)) if fold else seg
     seg_p = jnp.pad(seg.astype(jnp.float32), ((0, pad), (0, 0)))
     f0_p = jnp.pad(f0.astype(jnp.float32), ((0, pad), (0, 0)))
     np_ = n + pad
-    grid = (np_ // _TILE,)
+    grid = (np_ // tile,)
     kh = k_slots * n_harm
     d_shape = (np_, kh) if with_if else (np_, 1)
     xre, xim, dre, dim_, en = pl.pallas_call(
         functools.partial(_kernel, fs=float(fs), w=w, k_slots=k_slots,
                           n_harm=n_harm, with_if=with_if,
                           skip_empty=skip_empty,
-                          adaptive_width=adaptive_width),
+                          adaptive_width=adaptive_width, fold=fold),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE, k_slots), lambda i: (i, 0),
+            pl.BlockSpec((tile, k_slots), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, w), lambda i: (i, 0),
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_TILE, kh), lambda i: (i, 0),
+            pl.BlockSpec((tile, kh), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, kh), lambda i: (i, 0),
+            pl.BlockSpec((tile, kh), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, d_shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((tile, d_shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, d_shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((tile, d_shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, k_slots), lambda i: (i, 0),
+            pl.BlockSpec((tile, k_slots), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
