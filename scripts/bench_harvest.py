@@ -66,6 +66,15 @@ def main() -> None:
             jnp.asarray(np.ones(batch, np.float32)),
             jnp.asarray(np.arange(batch, dtype=np.int32)))
 
+    # AOT executable cache (utils/aot_cache.py, default-on): repeat A/B
+    # runs of the same graph skip the 2-10 min remote compile — keyed by
+    # module hash, so a TPUVC_REFINE/TPUVC_HARMONICS flip that changes
+    # the graph recompiles as it must
+    from tpuvc.utils import aot_cache
+    if aot_cache.enabled():
+        convert = aot_cache.aot_cached(
+            convert, args, tag=f"harvest-b{batch}-{dur_s}s-d{decim}")
+
     t0 = time.perf_counter()
     np.asarray(convert(*args))
     compile_s = time.perf_counter() - t0
@@ -73,12 +82,13 @@ def main() -> None:
     times = sorted(_pipelined_inline(convert, args, 6, 2) for _ in range(5))
     best = times[len(times) // 2]
     audio_seconds = batch * dur_s
-    from tpuvc.ops.pallas_harmonics import harmonics_impl
+    from tpuvc.ops.pallas_harmonics import harmonics_impl, refine_impl
     print(json.dumps({
         "metric": "harvest-path conversion throughput (single chip)",
         "value": round(audio_seconds / best, 2),
         "unit": "x realtime",
         "harmonics_impl": harmonics_impl(),
+        "refine_impl": refine_impl(),
         "channel_decim": decim,
         "batch": batch, "utterance_s": dur_s,
         "wall_s_per_call": round(best, 4),

@@ -81,9 +81,16 @@ def main() -> None:
     from tpuvc.utils.config import Architecture
 
     if not os.path.isdir(os.path.join(args.root, "wav")):
+        # hard style: parallel content seeding across speakers — its
+        # variable syllable timing otherwise breaks the framewise
+        # "vs the target's parallel recording" premise (measured ~36 dB
+        # framewise on non-parallel hard recordings — content mismatch,
+        # not conversion error; data/synthetic.py make_corpus)
         make_vcc2016_corpus(args.root, n_train=args.n_train, n_test=5,
-                            style=args.style)
-        print(f"[conv] corpus generated (style={args.style})", flush=True)
+                            style=args.style,
+                            parallel=(args.style == "hard"))
+        print(f"[conv] corpus generated (style={args.style}, parallel="
+              f"{args.style == 'hard'})", flush=True)
     if not os.path.isdir(os.path.join(args.root, "bin")):
         analyze.main(["--corpus", args.root, "--quiet"]
                      + (["--platform", args.platform]

@@ -99,8 +99,9 @@ def test_decoder_conditions_on_speaker(small_arch):
 
 
 def test_conditional_critic_uses_speaker_code(small_arch):
-    """d_conditional=True: same frame, different y -> different score;
-    the default (unconditional, reference parity) ignores y entirely."""
+    """d_conditional=True (the round-5 data-backed default): same frame,
+    different y -> different score; the unconditioned ablation arm
+    (d_conditional=False, legacy-checkpoint behavior) ignores y."""
     import dataclasses
     cond_arch = dataclasses.replace(small_arch, d_conditional=True)
     model = VAWGAN(arch=cond_arch)
@@ -112,8 +113,9 @@ def test_conditional_critic_uses_speaker_code(small_arch):
     s1 = model.apply(params, x, y1, method=VAWGAN.discriminate)
     assert float(jnp.max(jnp.abs(s0 - s1))) > 1e-5
 
-    uncond = VAWGAN(arch=small_arch)
-    p2 = init_params(uncond, small_arch, jax.random.PRNGKey(0))
+    uncond_arch = dataclasses.replace(small_arch, d_conditional=False)
+    uncond = VAWGAN(arch=uncond_arch)
+    p2 = init_params(uncond, uncond_arch, jax.random.PRNGKey(0))
     u0 = uncond.apply(p2, x, y0, method=VAWGAN.discriminate)
     u1 = uncond.apply(p2, x, y1, method=VAWGAN.discriminate)
     np.testing.assert_array_equal(np.asarray(u0), np.asarray(u1))
@@ -231,3 +233,26 @@ def test_output_activation_version_gate():
         arch.save(f.name)
         assert json.load(open(f.name))["output_activation"] == "tanh"
         assert Architecture.load(f.name).output_activation == "tanh"
+
+
+def test_d_conditional_version_gate():
+    """Same gate for the round-5 critic-conditioning default flip: an
+    architecture.json WITHOUT d_conditional predates it — its critic
+    tree has no projection params, so it must load unconditioned; new
+    saves serialize the (True) default explicitly."""
+    import json
+    import tempfile
+
+    from tpuvc.utils.config import Architecture
+
+    legacy = Architecture.from_json({"model": "VAWGAN", "z_dim": 8})
+    assert legacy.d_conditional is False
+    explicit = Architecture.from_json({"model": "VAWGAN",
+                                       "d_conditional": True})
+    assert explicit.d_conditional is True
+    arch = Architecture()
+    assert arch.d_conditional is True
+    with tempfile.NamedTemporaryFile("w", suffix=".json") as f:
+        arch.save(f.name)
+        assert json.load(open(f.name))["d_conditional"] is True
+        assert Architecture.load(f.name).d_conditional is True

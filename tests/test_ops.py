@@ -419,6 +419,74 @@ def test_pallas_harmonic_dft_matches_harvest_refine():
     np.testing.assert_allclose(s_got, s_ref, rtol=2e-2, atol=1e-3)
 
 
+def test_refine_score_merged_matches_split():
+    """_refine_and_score_merged (ONE kernel pass: both refinement phases
+    + glue in-kernel) == _refine_and_score_fused (two kernel passes with
+    the glue in XLA), interpreter mode, including empty slots, octave
+    errors near the accept-gate boundary, and holes."""
+    import jax.numpy as jnp
+
+    from tests.conftest import make_harmonic
+    from tpuvc.dsp.constants import harvest_refine_window
+    from tpuvc.dsp.harvest import (_K, _refine_and_score_fused,
+                                   _refine_and_score_merged)
+
+    fs = 16000
+    x = jnp.asarray(make_harmonic(150.0, fs=fs, dur_s=0.3, n_harm=10,
+                                  noise=0.01), jnp.float32)
+    n_1ms = x.shape[0] * 1000 // fs + 1
+    win = harvest_refine_window(fs, 71.0)
+    floor = 71.0 * 0.9
+    rng = np.random.default_rng(1)
+    cands = np.zeros((n_1ms, _K), np.float32)
+    cands[:, 0] = 150.0 + rng.uniform(-4, 4, n_1ms)
+    half = n_1ms // 2
+    cands[:half, 1] = 300.0 + rng.uniform(-8, 8, half)   # octave errors
+    cands[half:, 2] = 180.0                   # ~20% off: gate boundary
+    cands[::9, 0] = 0.0                                  # holes
+    cands = jnp.asarray(cands)
+
+    args = (x, cands, fs, fs // 1000, n_1ms, win, floor)
+    r_ref, s_ref = _refine_and_score_fused(*args)
+    r_got, s_got = _refine_and_score_merged(*args)
+    r_ref, s_ref, r_got, s_got = map(np.asarray,
+                                     (r_ref, s_ref, r_got, s_got))
+    assert (r_got[:, 3:] == 0).all() and (s_got[:, 3:] == 0).all()
+    # the two paths run the same formulas on the same folded reductions;
+    # only transcendental rounding inside the kernel can differ
+    assert (r_got > 0).sum() > 0.5 * n_1ms   # the track actually refines
+    np.testing.assert_allclose(r_got, r_ref, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(s_got, s_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_refine_score_pallas_unfolded_matches_folded():
+    """refine_score_pallas fold=False == fold=True away from the fold
+    floor (the merged kernel's A/B arm plumbing)."""
+    import jax.numpy as jnp
+
+    from tpuvc.ops.pallas_harmonics import refine_score_pallas
+
+    fs = 16000
+    rng = np.random.default_rng(2)
+    n, w = 70, 768
+    t = np.arange(w) / fs
+    seg = np.stack([np.sin(2 * np.pi * (120 + 2 * i) * (t - t[w // 2]))
+                    + 0.01 * rng.standard_normal(w) for i in range(n)])
+    f0 = np.zeros((n, 4), np.float32)
+    f0[:, 0] = 120 + 2 * np.arange(n)
+    f0[::3, 1] = 240.0
+    a = refine_score_pallas(jnp.asarray(seg, jnp.float32),
+                            jnp.asarray(f0), fs, floor=64.0, limit=0.2,
+                            interpret=True, fold=True)
+    b = refine_score_pallas(jnp.asarray(seg, jnp.float32),
+                            jnp.asarray(f0), fs, floor=64.0, limit=0.2,
+                            interpret=True, fold=False)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_denormalize_clips_out_of_range_decoder_output():
     """_denormalize_sp clips u to the Tanhize range unconditionally: an
     OOD decoder frame must never extrapolate log-SP past the corpus max

@@ -42,8 +42,18 @@ VCC2016_SPEAKER_DEFS = {
 
 def synth_utterance(rng: np.random.Generator, f0_base: float,
                     formants: tuple[float, float], tilt_db: float,
-                    fs: int = 16000, dur_s: float = 0.8) -> np.ndarray:
-    """A vowel-like utterance: vibrato f0, formant envelope, breath noise."""
+                    fs: int = 16000, dur_s: float = 0.8,
+                    phase_rng: np.random.Generator | None = None
+                    ) -> np.ndarray:
+    """A vowel-like utterance: vibrato f0, formant envelope, breath noise.
+
+    ``phase_rng`` (default: ``rng``) supplies the per-harmonic phase
+    draws, whose COUNT depends on the speaker's f0 (n_harm = 6000/f0) —
+    splitting them off lets parallel-corpus mode share ``rng`` (the
+    content draws) across speakers without the harmonic loop
+    desynchronizing the sequence (see make_corpus ``parallel``)."""
+    if phase_rng is None:
+        phase_rng = rng
     n = int(fs * dur_s)
     t = np.arange(n) / fs
     f0 = f0_base * (1.0 + 0.03 * np.sin(2 * np.pi * 2.5 * t)
@@ -57,7 +67,8 @@ def synth_utterance(rng: np.random.Generator, f0_base: float,
         g = sum(1.0 / (1.0 + ((fh - fc) / 300.0) ** 2) for fc in formants)
         g = (0.2 + g) * 10.0 ** (tilt_db * np.log2(max(fh / f0_base, 1.0))
                                  / 20.0)
-        x += g / h ** 0.3 * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
+        x += g / h ** 0.3 * np.sin(h * phase
+                                   + phase_rng.uniform(0, 2 * np.pi))
     x += 0.01 * rng.standard_normal(n)
     # fade edges to avoid clicks
     ramp = np.minimum(np.arange(n) / (0.02 * fs), 1.0)
@@ -67,7 +78,9 @@ def synth_utterance(rng: np.random.Generator, f0_base: float,
 
 def synth_hard_utterance(rng: np.random.Generator, f0_base: float,
                          formants: tuple[float, float], tilt_db: float,
-                         fs: int = 16000, dur_s: float = 1.5) -> np.ndarray:
+                         fs: int = 16000, dur_s: float = 1.5,
+                         phase_rng: np.random.Generator | None = None
+                         ) -> np.ndarray:
     """An ADVERSARIAL utterance: syllable train with stop bursts, formant
     glides, f0 jitter + amplitude shimmer, and variable speaking rate.
 
@@ -88,7 +101,15 @@ def synth_hard_utterance(rng: np.random.Generator, f0_base: float,
         the harmonic gains per sample;
       - f0 carries a declination + random-walk contour with ~0.8%
         per-period jitter; the amplitude carries ~6% shimmer.
+
+    ``phase_rng`` (default: ``rng``): see synth_utterance — the
+    harmonic-phase draw count depends on the speaker's f0_base, so
+    parallel-corpus mode routes phases to a separate stream to keep the
+    shared content draws (timing, rate, contours) aligned across
+    speakers.
     """
+    if phase_rng is None:
+        phase_rng = rng
     n = int(fs * dur_s)
     x = np.zeros(n)
     rate = rng.uniform(0.7, 1.4)                 # speaking-rate factor
@@ -133,8 +154,9 @@ def synth_hard_utterance(rng: np.random.Generator, f0_base: float,
             g = (0.2 + g) * 10.0 ** (
                 tilt_db * np.log2(np.maximum(fh / f0_base, 1.0)) / 20.0)
             seg += np.where(fh < 0.45 * fs,
-                            g / h ** 0.3 * np.sin(h * phase
-                                                  + rng.uniform(0, 2 * np.pi)),
+                            g / h ** 0.3
+                            * np.sin(h * phase
+                                     + phase_rng.uniform(0, 2 * np.pi)),
                             0.0)
         # shimmer: slow multiplicative amplitude noise
         sh = rng.standard_normal(nlen)
@@ -156,30 +178,52 @@ def synth_hard_utterance(rng: np.random.Generator, f0_base: float,
 def make_corpus(root: str, n_train: int = 6, n_test: int = 2,
                 fs: int = 16000, dur_s: float = 0.8, seed: int = 0,
                 speaker_defs: dict | None = None,
-                style: str = "vowel") -> None:
+                style: str = "vowel", parallel: bool = False) -> None:
+    """``parallel=True`` makes utterance i a PARALLEL recording across
+    speakers: its content draws (syllable timing, speaking rate, f0
+    contour shape, glide onsets) come from a per-(split, i) generator
+    shared by every speaker, so only the speaker identity knobs differ
+    — the precondition for a framewise conversion-MCD "vs the target's
+    parallel recording" to be meaningful.  Without it the hard style's
+    variable timing makes framewise MCD content-mismatch-dominated
+    (measured: ~36 dB framewise / 13.8 DTW on non-parallel hard
+    recordings vs ~5 dB on the stationary vowel style, 2026-08-19).
+    Default False preserves the draw sequence every earlier round's
+    corpus and published number came from."""
     rng = np.random.default_rng(seed)
     defs = speaker_defs if speaker_defs is not None else SPEAKER_DEFS
     synth = {"vowel": synth_utterance, "hard": synth_hard_utterance}[style]
     speakers = list(defs)
     corpus_io.write_speakers(os.path.join(root, "etc"), speakers)
-    for split, count in ((corpus_io.TRAIN_SPLIT, n_train),
-                        (corpus_io.TEST_SPLIT, n_test)):
+    for si, (split, count) in enumerate(
+            ((corpus_io.TRAIN_SPLIT, n_train),
+             (corpus_io.TEST_SPLIT, n_test))):
         for spk in speakers:
             f0b, formants, tilt = defs[spk]
             d = os.path.join(root, "wav", split, spk)
             os.makedirs(d, exist_ok=True)
             for i in range(count):
-                x = synth(rng, f0b, formants, tilt, fs, dur_s)
+                if parallel:
+                    content = np.random.default_rng((seed, si, i))
+                    x = synth(content, f0b, formants, tilt, fs, dur_s,
+                              phase_rng=rng)
+                else:
+                    x = synth(rng, f0b, formants, tilt, fs, dur_s)
                 write_wav(os.path.join(d, f"{100001 + i}.wav"), x, fs)
 
 
 def make_vcc2016_corpus(root: str, n_train: int = 50, n_test: int = 5,
                         fs: int = 16000, dur_s: float = 1.5,
-                        seed: int = 0, style: str = "vowel") -> None:
+                        seed: int = 0, style: str = "vowel",
+                        parallel: bool = False) -> None:
     """VCC2016-shaped validation corpus: 10 speakers, ~n_train utt each
     (the real challenge set is 10 x 162; this is the scale-validation
     stand-in since the corpus itself is not downloadable here).
     style="hard" builds the adversarial variant (stop bursts, glides,
-    jitter/shimmer, variable rate — synth_hard_utterance)."""
+    jitter/shimmer, variable rate — synth_hard_utterance);
+    parallel=True shares utterance content across speakers (see
+    make_corpus — required for meaningful framewise conversion MCD on
+    the hard style)."""
     make_corpus(root, n_train=n_train, n_test=n_test, fs=fs, dur_s=dur_s,
-                seed=seed, speaker_defs=VCC2016_SPEAKER_DEFS, style=style)
+                seed=seed, speaker_defs=VCC2016_SPEAKER_DEFS, style=style,
+                parallel=parallel)

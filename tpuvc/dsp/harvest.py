@@ -295,6 +295,26 @@ def _refine_and_score_fused(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
     return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
 
 
+def _refine_and_score_merged(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
+                             hop_1ms: int, n_1ms: int, win: int,
+                             floor: float
+                             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-kernel twin of _refine_and_score_fused: both refinement
+    phases AND the inter-phase glue run inside one refine_score_pallas
+    call (ops/pallas_harmonics.py) while the frame tile is VMEM-resident.
+    Saves one even/odd fold + one HBM read of the [N, W] seg array and
+    the ~10 [N, K, H] intermediate tensors the split path round-trips.
+    Same numbers to fp rounding (tests/test_ops.py)."""
+    from tpuvc.ops.pallas_harmonics import refine_score_pallas, use_pallas
+    from tpuvc.ops.framing import frame_signal
+    seg = frame_signal(x, hop_1ms, win, n_1ms)              # [N, W]
+    f0_1 = jnp.where(cands > 0.0, jnp.maximum(cands, floor), 0.0)
+    return refine_score_pallas(
+        seg, f0_1, fs, floor=floor, limit=HARVEST_REFINE_LIMIT,
+        n_harm=STONEMASK_NUM_HARMONICS, skip_empty=True,
+        interpret=not use_pallas())
+
+
 def _refine_and_score(x: jnp.ndarray, cands: jnp.ndarray, fs: int,
                       hop_1ms: int, n_1ms: int, win: int, floor: float
                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -637,9 +657,12 @@ def harvest(x: jnp.ndarray, fs: int = DEFAULT_WORLD.fs,
             tracks, jnp.asarray(bfs_t, jnp.float32), floor, ceil)
         merged_v, _ = _merge_channels(cand, dev)             # [N, K]
     win = harvest_refine_window(fs, f0_floor)
-    from tpuvc.ops.pallas_harmonics import harmonics_impl
-    refine_fn = (_refine_and_score_fused if harmonics_impl() == "pallas"
-                 else _refine_and_score)
+    from tpuvc.ops.pallas_harmonics import harmonics_impl, refine_impl
+    if harmonics_impl() == "pallas":
+        refine_fn = (_refine_and_score_merged if refine_impl() == "merged"
+                     else _refine_and_score_fused)
+    else:
+        refine_fn = _refine_and_score
     with jax.named_scope("hv_refine"):
         refined, scores = refine_fn(x, merged_v, fs, fs // 1000,
                                     n_1ms, win, floor)

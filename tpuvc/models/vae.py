@@ -160,12 +160,17 @@ class Decoder(nn.Module):
 class Critic(nn.Module):
     """Wasserstein critic x [B, 513] -> score [B] (reference _discriminate).
 
-    The reference critic takes only ``x`` (SURVEY.md SS2.1 flags the y-
-    conditioning as an open question — `_discriminate(x, y?)`); that is the
-    parity default.  With ``arch.d_conditional`` the speaker code enters as
+    SURVEY.md SS2.1 flags the y-conditioning as an open question
+    (`_discriminate(x, y?)`).  Settled by data (round 5, 30k-step
+    resident A/B, scale_validation.json "critic_conditioning_ab"): with
+    ``arch.d_conditional`` (now the default) the speaker code enters as
     a projection term score += <embed(y), features> (cGAN projection
-    discriminator, Miyato & Koyama 2018) — stronger than input concat and
-    leaves the conv stack's parameter tree unchanged.
+    discriminator, Miyato & Koyama 2018) and wins on every quality axis
+    — MCD 5.249 vs 5.638 dB and GV ratio +0.08 vs -0.79 dB against the
+    unconditioned arm, i.e. the projection critic CLOSES the
+    over-smoothing gap the unconditioned one only halved.
+    d_conditional=False remains the unconditioned ablation arm (legacy
+    architecture.json files load as False — utils/config.py gate).
     """
 
     arch: Architecture

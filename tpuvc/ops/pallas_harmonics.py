@@ -288,6 +288,165 @@ def _kernel(f0_ref, seg_ref, xre_ref, xim_ref, dre_ref, dim_ref, en_ref,
         dim_ref[:] = jnp.zeros_like(dim_ref)
 
 
+def refine_impl() -> str:
+    """Which refine formulation harvest should use on top of the Pallas
+    kernel: "split" = two harmonic_dft_pallas calls with the refinement
+    glue in XLA between them (the round-4 shipped path), "merged" = one
+    refine_score_pallas call computing both phases + glue in-kernel
+    (round-5 candidate: folds the segments once instead of twice, reads
+    the [N, W] seg array from HBM once instead of twice, and never
+    materializes the 10x[N, K, H] intermediate reductions that the
+    split path round-trips through HBM between its ~20 inter-pass XLA
+    fusions).  TPUVC_REFINE overrides; default "split" until the
+    in-pipeline chip A/B (scripts/bench_harvest.py, per the r5 rule:
+    isolated wins don't transfer) picks a winner.  Same trace-time
+    caveat as harmonics_impl()."""
+    import os
+    forced = os.environ.get("TPUVC_REFINE")
+    if forced in ("split", "merged"):
+        return forced
+    return "split"
+
+
+def _refine_math(dft, f0k, fs: float, floor: float, limit: float,
+                 n_harm: int):
+    """The refinement + scoring glue shared by both phases, expressed on
+    a ``dft(f0, with_if)`` closure so the kernel (folded or unfolded)
+    and interpreter paths reuse it.  Mirrors dsp/harvest.py
+    _refine_and_score_fused's XLA glue line for line; f0k [T, 1] is the
+    candidate slot column (<= 0 = empty)."""
+    # integer iota + cast: Mosaic's tpu.iota only admits integer results
+    # (a float arange fails kernel verification on-chip, 2026-08-19)
+    hh = (jax.lax.broadcasted_iota(jnp.int32, (1, n_harm), 1)
+          + 1).astype(jnp.float32)                            # [1, H]
+    xre, xim, dre, dim_, _ = dft(f0k, True)
+    f0c = jnp.maximum(f0k, floor)
+    power = xre * xre + xim * xim + 1e-20
+    amps = jnp.where(hh * f0c < fs / 2.0, jnp.sqrt(power), 0.0)
+    ifs = hh * f0c + (xre * dim_ - xim * dre) / power * (
+        fs / (2.0 * jnp.pi))
+    num = jnp.sum(amps * ifs / hh, axis=-1, keepdims=True)
+    den = jnp.sum(amps, axis=-1, keepdims=True)
+    refined = jnp.where(den > 0.0, num / jnp.maximum(den, 1e-12), 0.0)
+    # valid candidates are >= the search floor by the channel gate
+    # (dsp/harvest.py _refine_and_score docstring), so gating on the
+    # kernel input f0k == where(valid, max(cands, floor), 0) matches
+    # gating on the raw cands for every row that can pass
+    ok = ((f0k > 0.0) & (refined > 0.0)
+          & (jnp.abs(refined - f0k) <= limit * jnp.maximum(f0k, 1e-12)))
+
+    rf = jnp.where(ok, jnp.maximum(refined, floor), 0.0)
+    xre2, xim2, _, _, energy = dft(rf, False)
+    rfc = jnp.maximum(rf, floor)
+    power2 = xre2 * xre2 + xim2 * xim2 + 1e-20
+    amps2 = jnp.where(hh * rfc < fs / 2.0, jnp.sqrt(power2), 0.0)
+    hw = jnp.floor(1.5 * fs / rfc + 1.0)
+    winlen = 2.0 * hw + 1.0
+    fft_size = jnp.exp2(2.0 + jnp.ceil(jnp.log2(winlen)))
+    total = jnp.sqrt(fft_size * energy / 2.0 + 1e-30)
+    a1 = amps2[:, 0:1]
+    a2 = amps2[:, 1:2]
+    score = (jnp.sum(amps2, axis=-1, keepdims=True) / total) * (
+        a1 / (a1 + a2 + 1e-30))
+    return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
+
+
+def _refine_kernel(f0_ref, seg_ref, ref_ref, sc_ref, *, fs: float, w: int,
+                   k_slots: int, n_harm: int, floor: float, limit: float,
+                   skip_empty: bool, fold: bool):
+    seg = seg_ref[:]
+    if fold:
+        wh = w // 2
+        e_half = seg[:, :wh]
+        o_half = seg[:, wh:]
+        b_half = jax.lax.broadcasted_iota(
+            jnp.int32, (1, wh), 1).astype(jnp.float32)
+        c0 = fold_floor(w, fs)
+
+        def dft(f0, with_if):
+            return _slot_folded(e_half, o_half, b_half,
+                                jnp.maximum(f0, c0), fs, n_harm,
+                                with_if, wh)
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        base = (col - w // 2).astype(jnp.float32)
+
+        def dft(f0, with_if):
+            return _slot(seg, base, jnp.maximum(f0, 1.0), fs, n_harm,
+                         with_if, w)
+
+    t = seg.shape[0]
+    for k in range(k_slots):
+        f0k = f0_ref[:, k: k + 1]                             # [T, 1]
+
+        def compute(_):
+            return _refine_math(dft, f0k, fs, floor, limit, n_harm)
+
+        if skip_empty:
+            def empty(_):
+                z = jnp.zeros((t, 1), jnp.float32)
+                return z, z
+
+            refined, score = jax.lax.cond(
+                jnp.any(f0k > 0.0), compute, empty, 0)
+        else:
+            refined, score = compute(0)
+        ref_ref[:, k: k + 1] = refined
+        sc_ref[:, k: k + 1] = score
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "n_harm", "floor",
+                                             "limit", "skip_empty",
+                                             "interpret", "tile", "fold"))
+def refine_score_pallas(seg: jnp.ndarray, f0: jnp.ndarray, fs: int,
+                        floor: float, limit: float, n_harm: int = 6,
+                        skip_empty: bool = True, interpret: bool = False,
+                        tile: int = _TILE, fold: bool = True):
+    """Both harvest refinement phases + glue in ONE kernel pass.
+
+    seg [N, W] raw frame-centered samples, f0 [N, K] candidate slots
+    (<= 0 = empty).  Returns (refined [N, K], score [N, K]) — exactly
+    dsp/harvest.py _refine_and_score_fused's outputs, with the
+    inter-pass refinement math computed in-kernel while the frame tile
+    is VMEM-resident.  vs the split path: one fold + one HBM read of
+    seg instead of two, half the grid dispatches, and no [N, K, H]
+    intermediate round trips (the split path writes ~10 of them).
+    Equivalence vs the split path is pinned in interpreter mode
+    (tests/test_ops.py::test_refine_score_merged_matches_split)."""
+    n, w = seg.shape
+    k_slots = f0.shape[-1]
+    pad = (-n) % tile
+    seg = _fold_eo(seg.astype(jnp.float32)) if fold else seg
+    seg_p = jnp.pad(seg.astype(jnp.float32), ((0, pad), (0, 0)))
+    f0_p = jnp.pad(f0.astype(jnp.float32), ((0, pad), (0, 0)))
+    np_ = n + pad
+    refined, score = pl.pallas_call(
+        functools.partial(_refine_kernel, fs=float(fs), w=w,
+                          k_slots=k_slots, n_harm=n_harm,
+                          floor=float(floor), limit=float(limit),
+                          skip_empty=skip_empty, fold=fold),
+        grid=(np_ // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, k_slots), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, k_slots), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k_slots), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, k_slots), jnp.float32),
+            jax.ShapeDtypeStruct((np_, k_slots), jnp.float32),
+        ],
+        interpret=interpret,
+    )(f0_p, seg_p)
+    return refined[:n], score[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("fs", "n_harm", "with_if",
                                              "skip_empty", "interpret",
                                              "adaptive_width", "tile",

@@ -30,7 +30,11 @@ CACHE_DIR = os.environ.get("TPUVC_AOT_DIR", "/tmp/tpuvc-aot")
 
 
 def enabled() -> bool:
-    return os.environ.get("TPUVC_AOT", "") not in ("", "0")
+    # Default ON since the 2026-08-19 campaign proved the round trip
+    # end-to-end (cold 1337x / warm 1343x, bit-identical, compile_wall
+    # 52.6 -> 3.1 s); every failure mode degrades to a plain compile.
+    # TPUVC_AOT=0 opts out.
+    return os.environ.get("TPUVC_AOT", "1") != "0"
 
 
 def aot_cached(jitted, example_args: tuple, tag: str = "fn",

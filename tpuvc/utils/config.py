@@ -89,10 +89,15 @@ class Architecture:
     generator: NetSpec = NetSpec((7, 7, 7, 7, 7), (3, 3, 3, 1, 1),
                                  (128, 64, 32, 16, 1))
     discriminator: NetSpec = NetSpec((7, 7, 7), (3, 3, 3), (16, 32, 64))
-    d_conditional: bool = False           # speaker-condition the critic
-    #   (SURVEY.md SS2.1 writes `_discriminate(x, y?)`: the reference's
-    #   critic signature takes only x, so False is the parity default; the
-    #   flag enables y-conditioning for ablation — see docs/STATUS.md)
+    d_conditional: bool = True            # speaker-condition the critic
+    #   (SURVEY.md SS2.1 writes `_discriminate(x, y?)` — an explicitly
+    #   open parity question, settled by data in round 5: the projection-
+    #   conditioned critic wins the 30k-step resident A/B on every axis
+    #   (MCD 5.249 vs 5.638 dB, DTW-MCD 3.896 vs 4.202, GV ratio +0.08 vs
+    #   -0.79 dB — it closes the over-smoothing gap the uncond critic
+    #   only halved; scale_validation.json "critic_conditioning_ab").
+    #   False remains the uncond ablation arm; legacy architecture.json
+    #   files without the field load as False (from_json gate below).
     output_activation: str = "tanh"       # decoder's final nonlinearity:
     #   "tanh" bounds the generated frame to the Tanhize range [-1, 1]
     #   (the reference generator ends in a tanh-ranged normalized log-SP
@@ -130,6 +135,12 @@ class Architecture:
         # field (Architecture.save serializes all fields), so only
         # legacy checkpoints take this branch.
         kw.setdefault("output_activation", "linear")
+        # same gate for the critic's conditioning (round-5 default flip):
+        # an architecture.json WITHOUT d_conditional predates the flip —
+        # its checkpoint's critic tree has no projection params, so it
+        # must keep loading as the unconditioned critic.  New runs save
+        # the field.
+        kw.setdefault("d_conditional", False)
         # reference alias: "hwc": [513, 1, 1]
         if "hwc" in d:
             kw["x_dim"] = int(d["hwc"][0])
