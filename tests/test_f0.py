@@ -383,3 +383,31 @@ def test_blocked_contour_recurrences_match_flat_scans():
     none = np.zeros(50, bool)
     got = np.asarray(hv._ffill(jnp.asarray(v), jnp.asarray(none)))
     np.testing.assert_array_equal(got, np.full(50, v[0]))
+
+
+def test_decimate_fold_identity():
+    """The half-length spectral-fold decimate == the full-length
+    irfft-then-subsample formulation (exact identity: the low-pass gain
+    zeroes every alias image), on divisible AND remainder lengths."""
+    import jax.numpy as jnp
+
+    from tpuvc.dsp import filters
+
+    def direct(x, ratio):
+        n = x.shape[-1]
+        spec = jnp.fft.rfft(x, axis=-1)
+        freqs = jnp.fft.rfftfreq(n)
+        lo, hi = 0.9 * 0.45 / ratio, 0.45 / ratio
+        gain = jnp.clip((hi - freqs) / (hi - lo), 0.0, 1.0)
+        gain = 0.5 - 0.5 * jnp.cos(jnp.pi * gain)
+        return jnp.fft.irfft(spec * gain, n=n, axis=-1)[..., ::ratio]
+
+    rng = np.random.default_rng(3)
+    for n, ratio in ((4000, 2), (4000, 4), (4001, 4), (1500, 3),
+                     (999, 2)):
+        x = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        got = np.asarray(filters.decimate(x, ratio))
+        ref = np.asarray(direct(x, ratio))
+        assert got.shape == ref.shape, (n, ratio)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"n={n} ratio={ratio}")

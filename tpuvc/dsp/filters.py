@@ -44,6 +44,19 @@ def decimate(x: jnp.ndarray, ratio: int) -> jnp.ndarray:
     lo, hi = 0.9 * cutoff, cutoff
     gain = jnp.clip((hi - freqs) / (hi - lo), 0.0, 1.0)
     gain = 0.5 - 0.5 * jnp.cos(jnp.pi * gain)
+    if n % ratio == 0:
+        # Spectral fold: subsampling irfft_n(S)[::r] == irfft_{n/r} of
+        # the TRUNCATED spectrum (alias images m=1..r-1 carry only
+        # gain-zeroed bins: support ends at 0.45*n/r < (n/r)/2), scaled
+        # by the length ratio — so the inverse transform runs at
+        # 1/ratio the points and the strided gather disappears.  Exact
+        # up to FFT rounding (round-5; pinned against the full-length
+        # formulation in tests/test_f0.py::test_decimate_fold_identity).
+        t_dec = n // ratio
+        s_fold = (spec * gain)[..., : t_dec // 2 + 1]
+        return jnp.fft.irfft(s_fold, n=t_dec, axis=-1) / ratio
+    # remainder lengths (output len ceil(n/r)): the fold identity needs
+    # r | n, keep the direct formulation
     y = jnp.fft.irfft(spec * gain, n=n, axis=-1)
     return y[..., ::ratio]
 
