@@ -385,6 +385,42 @@ def test_blocked_contour_recurrences_match_flat_scans():
     np.testing.assert_array_equal(got, np.full(50, v[0]))
 
 
+def test_blocked_fix_step1_matches_flat_scan():
+    """The two-scenario blocked _fix_step1_scan is bitwise-identical to
+    the flat sequential recurrence (the carry is always 0 or the
+    previous input frame, so both block carry-in scenarios are known up
+    front), across block-boundary jump patterns and lengths around the
+    block size."""
+    import jax.numpy as jnp
+
+    from tpuvc.dsp import harvest as hv
+
+    def flat_ref(f0, allowed):
+        prev = np.float32(0.0)
+        out = np.empty_like(f0)
+        for i, cur in enumerate(f0):
+            bad = (cur > 0.0 and prev > 0.0
+                   and abs(cur - prev) > allowed * max(cur, 1e-12))
+            out[i] = 0.0 if bad else cur
+            prev = out[i]
+        return out
+
+    rng = np.random.default_rng(7)
+    allowed = float(hv.HARVEST_STEP1_ALLOWED)
+    for n in (5, 127, 128, 129, 1000, 4001):
+        # mixture: smooth runs, octave jumps (zeroed by the rule), and
+        # unvoiced gaps — jumps land on and around block boundaries too
+        f0 = rng.uniform(80, 200, n).astype(np.float32)
+        f0 = np.where(rng.random(n) < 0.3, 0.0, f0)
+        jumps = rng.random(n) < 0.15
+        f0 = np.where(jumps, f0 * 2.2, f0).astype(np.float32)
+        for b in range(hv._CONTOUR_BLOCK - 1, n, hv._CONTOUR_BLOCK):
+            f0[b] = f0[b - 1] * 2.5 if b % 2 else 0.0
+        got = np.asarray(hv._fix_step1_scan(jnp.asarray(f0), allowed))
+        np.testing.assert_array_equal(got, flat_ref(f0, allowed),
+                                      err_msg=f"n={n}")
+
+
 def test_decimate_fold_identity():
     """The half-length spectral-fold decimate == the full-length
     irfft-then-subsample formulation (exact identity: the low-pass gain

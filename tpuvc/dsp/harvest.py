@@ -436,7 +436,25 @@ def _guided_reselect(f0: jnp.ndarray, refined: jnp.ndarray,
 def _fix_step1_scan(f0: jnp.ndarray, allowed: float) -> jnp.ndarray:
     """Sequential jump removal (the updated previous value is the
     reference, matching WORLD/the oracle: after a zeroing, the next frame
-    survives because its predecessor is now unvoiced)."""
+    survives because its predecessor is now unvoiced).
+
+    Blocked (round 5): the carry is TWO-CLASS — every output is either 0
+    or its own input frame (``new = where(bad, 0, cur)``), so the value
+    entering block b is either 0 or the previous block's last INPUT,
+    both known up front.  The L-step intra scan therefore runs once per
+    scenario, vectorized across all blocks, and an nb-step boolean scan
+    picks the realized scenario per block — bitwise-identical to the
+    flat scan (selection only; the jump test sees the same (prev, cur)
+    pairs in the selected scenario).  This kills two of the four ~4000-
+    step flat scans the round-5 roofline left in hv_contour (16 GB/s,
+    scan-serial); _extend_scan keeps its flat form — its carry chains
+    through unboundedly many candidate values inside a gap (no finite
+    scenario set), verified round 5."""
+    n = f0.shape[0]
+    L = _CONTOUR_BLOCK
+    nb = -(-n // L)
+    pad = nb * L - n
+    fb = jnp.pad(f0, (0, pad)).reshape(nb, L).T            # [L, nb]
 
     def step(prev, cur):
         bad = (cur > 0.0) & (prev > 0.0) & (
@@ -444,8 +462,20 @@ def _fix_step1_scan(f0: jnp.ndarray, allowed: float) -> jnp.ndarray:
         new = jnp.where(bad, 0.0, cur)
         return new, new
 
-    _, out = jax.lax.scan(step, jnp.float32(0.0), f0)
-    return out
+    # scenario 0: carry-in 0 (also the global init for block 0);
+    # scenario 1: carry-in = previous block's last input frame
+    prev_last = jnp.concatenate([jnp.zeros((1,), fb.dtype), fb[-1, :-1]])
+    init = jnp.stack([jnp.zeros_like(prev_last), prev_last])   # [2, nb]
+    _, outs = jax.lax.scan(step, init, fb)                 # [L, 2, nb]
+    nonzero_out = outs[-1] > 0.0                           # [2, nb]
+
+    def inter(cls, nz):
+        return jnp.where(cls, nz[1], nz[0]), cls           # emit carry-in
+
+    _, cls_in = jax.lax.scan(inter, jnp.zeros((), bool),
+                             jnp.moveaxis(nonzero_out, 0, 1))  # [nb]
+    out = jnp.where(cls_in[None, :], outs[:, 1], outs[:, 0])  # [L, nb]
+    return out.T.reshape(-1)[:n]
 
 
 # Frames per block of the blocked contour recurrences (_ffill/_biquad).
