@@ -119,3 +119,58 @@ def test_lane_tiling(monkeypatch):
         for pi, r in enumerate(pairs):
             r = np.asarray(r)
             assert np.array_equal(got[4 * ti + pi, : r.shape[0]], r)
+
+
+@pytest.mark.parametrize("stride,t", [(8, 3205), (20, 3205),
+                                      (8, 8 * 2048 + 515)])
+def test_bank_tracks_fused_scan_bitexact(stride, t, monkeypatch):
+    # the fused top2_block_scans kernel vs the lax.cummax ladders, end
+    # to end through _bank_tracks (the last case pads nb past one lane
+    # tile, exercising the cross-tile carry)
+    rng = np.random.default_rng(stride + t)
+    bank = jnp.asarray(np.stack([_speechy(rng, t) for _ in range(4)]))
+    n_frames = t // stride + 1
+    monkeypatch.setenv("TPUVC_EVENTS", "pallas")
+    monkeypatch.setenv("TPUVC_SCAN", "xla")
+    ref = np.asarray(dio._bank_tracks(bank, 4000.0, n_frames, stride))
+    monkeypatch.setenv("TPUVC_SCAN", "pallas")
+    got = np.asarray(dio._bank_tracks(bank, 4000.0, n_frames, stride))
+    assert np.array_equal(got, ref)
+
+
+def test_top2_block_scans_matches_xla_scans():
+    # direct row-level identity on adversarial pair data: duplicate
+    # times (multiplicity), all-fill blocks, fills interleaved
+    from tpuvc.ops.pallas_events import top2_block_scans
+
+    rng = np.random.default_rng(5)
+    c, nb = 3, 256
+    times = rng.uniform(0.0, 1e4, (c, 4, 2, nb)).astype(np.float32)
+    times.sort(axis=2)
+    # sorted pairs: p rows descending (max pair), s rows ascending
+    empty = rng.random((c, 4, nb)) < 0.35
+    half = rng.random((c, 4, nb)) < 0.25          # single-event blocks
+    dup = rng.random((c, 4, nb)) < 0.2            # duplicate times
+    pairs = np.empty((c, 16, nb), np.float32)
+    for ti in range(4):
+        hi, lo = times[:, ti, 1], times[:, ti, 0]
+        hi2 = np.where(dup[:, ti], hi, lo)
+        p1 = np.where(empty[:, ti], -np.inf, hi)
+        p2 = np.where(empty[:, ti] | half[:, ti], -np.inf, hi2)
+        s1 = np.where(empty[:, ti], np.inf, hi2)
+        s2 = np.where(empty[:, ti] | half[:, ti], np.inf, hi)
+        pairs[:, 4 * ti + 0] = p1
+        pairs[:, 4 * ti + 1] = p2
+        pairs[:, 4 * ti + 2] = np.minimum(s1, s2)
+        pairs[:, 4 * ti + 3] = np.maximum(s1, s2)
+    got = np.asarray(top2_block_scans(jnp.asarray(pairs), interpret=True))
+    for ci in range(c):
+        for ti in range(4):
+            rp = dio._top2_max_scan((jnp.asarray(pairs[ci, 4 * ti]),
+                                     jnp.asarray(pairs[ci, 4 * ti + 1])))
+            rs = dio._top2_min_scan_rev(
+                (jnp.asarray(pairs[ci, 4 * ti + 2]),
+                 jnp.asarray(pairs[ci, 4 * ti + 3])))
+            for pi, r in enumerate((*rp, *rs)):
+                assert np.array_equal(got[ci, 4 * ti + pi], np.asarray(r)), \
+                    (ci, ti, pi)

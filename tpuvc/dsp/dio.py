@@ -123,7 +123,8 @@ def _edge_pad(v: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def _tracks_from_pairs(p1: jnp.ndarray, p2: jnp.ndarray, s1: jnp.ndarray,
                        s2: jnp.ndarray, fs_d: float, n_frames: int,
-                       stride: int, ncells: int) -> jnp.ndarray:
+                       stride: int, ncells: int,
+                       pre_scanned: bool = False) -> jnp.ndarray:
     """Block top-2 event-time pairs -> one event type's f0 track [N].
 
     The shared tail of the event machinery: block-level prefix/suffix
@@ -132,9 +133,13 @@ def _tracks_from_pairs(p1: jnp.ndarray, p2: jnp.ndarray, s1: jnp.ndarray,
     ceil(ncells/stride)), then WORLD's midpoint-interpolated interval
     contour read at the frame positions with edge hold (see
     _channel_tracks for the full derivation and provenance).
+    ``pre_scanned``: the rows already carry the prefix/suffix scans
+    (ops/pallas_events.top2_block_scans — bit-identical to the XLA
+    scans below), so skip them here.
     """
-    p1, p2 = _top2_max_scan((p1, p2))
-    s1, s2 = _top2_min_scan_rev((s1, s2))
+    if not pre_scanned:
+        p1, p2 = _top2_max_scan((p1, p2))
+        s1, s2 = _top2_min_scan_rev((s1, s2))
     neg = jnp.full((1,), -jnp.inf, jnp.float32)
     # frame i's prefix read position is cell i*stride-1, which exists
     # only for i <= ncells//stride; frames past the signal end repeat
@@ -292,14 +297,22 @@ def _bank_tracks(filtered: jnp.ndarray, fs_d: float, n_frames: int,
     the default XLA path vmaps the per-channel formulation.  Outputs
     are bit-identical between the two (tests/test_events.py).
     """
-    from tpuvc.ops.pallas_events import event_block_pairs, events_impl
+    from tpuvc.ops.pallas_events import (event_block_pairs, events_impl,
+                                         scan_impl, top2_block_scans)
     from tpuvc.ops.pallas_window import use_pallas
     if events_impl() != "pallas":
         return jax.vmap(
             lambda s: _channel_tracks(s, fs_d, n_frames, stride))(filtered)
     t = filtered.shape[-1]
+    interp = not use_pallas()
     pairs = event_block_pairs(filtered, stride,
-                              interpret=not use_pallas())   # [C, 16, nbp]
+                              interpret=interp)             # [C, 16, nbp]
+    # the 8 block-level prefix/suffix top-2 scans: either fused in VMEM
+    # (one HBM pass over the pairs) or the per-type lax.cummax ladders
+    # below (O(log nb) HBM passes each) — bit-identical outputs
+    scanned = scan_impl() == "pallas"
+    if scanned:
+        pairs = top2_block_scans(pairs, interpret=interp)
     nb_zc = -(-(t - 1) // stride)
     nb_pd = -(-(t - 2) // stride)
 
@@ -310,7 +323,7 @@ def _bank_tracks(filtered: jnp.ndarray, fs_d: float, n_frames: int,
             rows.append(_tracks_from_pairs(
                 pr[4 * ti, :nb], pr[4 * ti + 1, :nb],
                 pr[4 * ti + 2, :nb], pr[4 * ti + 3, :nb],
-                fs_d, n_frames, stride, nc))
+                fs_d, n_frames, stride, nc, pre_scanned=scanned))
         return jnp.stack(rows)
 
     return jax.vmap(one)(pairs)

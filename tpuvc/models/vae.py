@@ -132,7 +132,9 @@ class Decoder(nn.Module):
                             dtype=self.dtype)(h)
                 if not last and self.arch.d2s_impl == "pallas":
                     # fuse the lane relayout with the LN+lrelu that follow
-                    # (ops/pallas_d2s.py; opt-in pending on-chip A/B)
+                    # (ops/pallas_d2s.py; MEASURED-NEGATIVE opt-in — two
+                    # on-chip A/Bs lost to the XLA reshape, kept with its
+                    # numbers per docs/PERFORMANCE.md round-3/4 item 5)
                     from tpuvc.ops.pallas_d2s import d2s_ln_lrelu
                     from tpuvc.ops.pallas_window import use_pallas
                     g = self.param(f"d2s_ln{i}_scale",

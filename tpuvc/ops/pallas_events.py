@@ -127,6 +127,111 @@ def _kernel(s_ref, sn_ref, out_ref, *, stride: int, lt: int,
         row += 4
 
 
+def scan_impl() -> str:
+    """Which block-scan implementation dio._bank_tracks should stack on
+    top of the event kernel: "xla" = the lax.cummax ladders
+    (dio._top2_max_scan/_top2_min_scan_rev — 24 cumulative ops over the
+    [C, nb] block grid, each an O(log nb) HBM round-trip ladder; the
+    round-5 post-fold roofline put hv_event_tracks at 46 ms / 325 GB/s,
+    ~15 GB of exactly this traffic), "pallas" = ONE top2_block_scans
+    kernel pass computing all eight prefix/suffix top-2 scans with
+    VMEM-resident Kogge-Stone levels (HBM traffic = one read + one
+    write of the [C, 16, nb] pairs).  Bit-identical (selection ops are
+    association-free; tests/test_events.py).  TPUVC_SCAN overrides;
+    default "xla" until the in-pipeline chip A/B
+    (scripts/bench_harvest.py, per the round-5 rule: isolated wins
+    don't transfer) picks a winner.  Same trace-time caveat as
+    events_impl()."""
+    forced = os.environ.get("TPUVC_SCAN")
+    if forced in ("xla", "pallas"):
+        return forced
+    return "xla"
+
+
+_SCAN_LANE_TILE = 2048   # lanes per program: [16, 2048] f32 in + out +
+#   ~8 live temps ~ 1.3 MB VMEM; the carry makes longer rows exact
+
+
+def _kogge_cummax(x: jnp.ndarray, lt: int) -> jnp.ndarray:
+    """In-VMEM prefix max over the lane axis (Kogge-Stone: log2(lt)
+    roll+select+max levels).  max is associative and selection-only, so
+    the result is bit-identical to any other cummax association."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    d = 1
+    while d < lt:
+        sh = jnp.where(lane < d, -jnp.inf, pltpu.roll(x, d, axis=1))
+        x = jnp.maximum(x, sh)
+        d *= 2
+    return x
+
+
+def _scan_kernel(in_ref, out_ref, carry_ref, *, lt: int):
+    """Joint prefix top-2 scan of 8 (a1, a2) pair rows per grid row.
+
+    in rows [0:8] = a1 (block max), [8:16] = a2 (block second); out rows
+    [0:8] = running top-1, [8:16] = running top-2, via the same exact
+    identity as dio._top2_max_scan: p2 = max(cummax(min(a1, pre)),
+    cummax(a2)) with pre the lagged p1.  The carry scratch holds each
+    row's (p1, p2) at the previous lane tile's end, so rows longer than
+    one tile scan exactly (max over a prefix decomposes over tiles)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        carry_ref[:] = jnp.full(carry_ref.shape, -jnp.inf, jnp.float32)
+
+    a1 = in_ref[0:8, :]
+    a2 = in_ref[8:16, :]
+    c1 = carry_ref[0:8, 0:1]
+    c2 = carry_ref[8:16, 0:1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, lt), 1)
+    p1 = jnp.maximum(_kogge_cummax(a1, lt), c1)
+    pre = jnp.where(lane < 1, c1, pltpu.roll(p1, 1, axis=1))
+    both = jnp.concatenate([jnp.minimum(a1, pre), a2], axis=0)
+    k2 = _kogge_cummax(both, lt)
+    p2 = jnp.maximum(jnp.maximum(k2[0:8], k2[8:16]), c2)
+    out_ref[0:8, :] = p1
+    out_ref[8:16, :] = p2
+    carry_ref[0:8, 0:1] = p1[:, lt - 1:lt]
+    carry_ref[8:16, 0:1] = p2[:, lt - 1:lt]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def top2_block_scans(pairs: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """All eight block-level top-2 scans of event_block_pairs' output in
+    one kernel pass: pairs [C, 16, nb] -> same layout, rows 4t/4t+1 the
+    PREFIX top-2 (largest, second) and rows 4t+2/4t+3 the SUFFIX
+    bottom-2 of event type t — exactly dio._top2_max_scan /
+    _top2_min_scan_rev applied per row (bit-identical: all combines are
+    min/max selections).  The suffix rows map onto the forward-max
+    kernel by negate+flip (exact, fills +inf -> -inf); trailing
+    all-fill pad blocks are inert in both directions, so scanning the
+    padded array then slicing per type equals slicing then scanning."""
+    c, sixteen, nb = pairs.shape
+    assert sixteen == 16, pairs.shape
+    p_a1, p_a2 = pairs[:, 0::4], pairs[:, 1::4]            # [C, 4, nb]
+    s_a1 = -jnp.flip(pairs[:, 2::4], axis=-1)
+    s_a2 = -jnp.flip(pairs[:, 3::4], axis=-1)
+    x = jnp.concatenate([p_a1, s_a1, p_a2, s_a2], axis=1)  # [C, 16, nb]
+    lt = min(_SCAN_LANE_TILE, nb)
+    assert nb % lt == 0, (nb, lt)   # event_block_pairs pads to lane tiles
+    y = pl.pallas_call(
+        functools.partial(_scan_kernel, lt=lt),
+        grid=(c, nb // lt),
+        in_specs=[pl.BlockSpec((None, 16, lt), lambda r, k: (r, 0, k),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((None, 16, lt), lambda r, k: (r, 0, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, 16, nb), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32)],
+        interpret=interpret,
+    )(x)
+    s1 = -jnp.flip(y[:, 4:8], axis=-1)
+    s2 = -jnp.flip(y[:, 12:16], axis=-1)
+    out = jnp.stack([y[:, 0:4], y[:, 8:12], s1, s2], axis=2)
+    return out.reshape(c, 16, nb)                          # rows 4t+kind
+
+
 @functools.partial(jax.jit, static_argnames=("stride", "interpret"))
 def event_block_pairs(bank: jnp.ndarray, stride: int,
                       interpret: bool = False) -> jnp.ndarray:
