@@ -137,11 +137,20 @@ def scan_impl() -> str:
     kernel pass computing all eight prefix/suffix top-2 scans with
     VMEM-resident Kogge-Stone levels (HBM traffic = one read + one
     write of the [C, 16, nb] pairs).  Bit-identical (selection ops are
-    association-free; tests/test_events.py).  TPUVC_SCAN overrides;
-    default "xla" until the in-pipeline chip A/B
-    (scripts/bench_harvest.py, per the round-5 rule: isolated wins
-    don't transfer) picks a winner.  Same trace-time caveat as
-    events_impl()."""
+    association-free; tests/test_events.py).  TPUVC_SCAN overrides.
+
+    MEASURED-NEGATIVE OPT-IN (2026-08-19 chip A/B, back-to-back with a
+    same-session baseline rep): harvest 334.4x (0.3828 s/call) vs the
+    xla ladders' 371.1x (0.3449), main DIO bench 1309x vs 1333x — the
+    fused kernel LOST in-pipeline on both f0 paths despite replacing
+    the ladders' O(log nb) HBM round trips.  Attribution: the wrapper's
+    negate+flip+interleave relayouts around the kernel (the suffix rows
+    map onto the forward kernel by reversal) are cross-lane shuffles of
+    the whole pairs array, and the extra materialization breaks XLA's
+    fusion of the ladder levels into the downstream contour reads — the
+    same relayout tax that killed the original pair-valued scans (round
+    4).  Default stays "xla"; docs/PERFORMANCE.md r5 item 13.  Same
+    trace-time caveat as events_impl()."""
     forced = os.environ.get("TPUVC_SCAN")
     if forced in ("xla", "pallas"):
         return forced
