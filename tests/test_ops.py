@@ -701,6 +701,32 @@ np.save(sys.argv[2], np.asarray(c(x)))
     np.testing.assert_allclose(outs[0][0], want, rtol=1e-5)
 
 
+def test_aot_cache_prunes_stale_entries(tmp_path):
+    """_prune_tag keeps only the most recently used entries of a tag
+    (serialized convert executables are 100-220 MB each and every
+    source change mints a new key) and matches file names EXACTLY —
+    a tag that extends another must not be pruned with it."""
+    import os
+
+    from tpuvc.utils.aot_cache import _prune_tag
+
+    key = "0" * 23
+    names = [f"t-{key}{i}.pkl" for i in range(4)]
+    other = [f"t-ext-{key}5.pkl",       # tag "t-ext" extends tag "t"
+             f"t-{key}6.pkl.tmp99",     # in-flight temp file
+             f"t-short.pkl"]            # malformed key length
+    for i, n in enumerate(names + other):
+        p = tmp_path / n
+        p.write_bytes(b"x")
+        os.utime(p, (1000 + i, 1000 + i))   # names[3] is the newest
+    _prune_tag(str(tmp_path), "t", keep=2)
+    left = sorted(os.listdir(tmp_path))
+    assert names[2] in left and names[3] in left   # 2 newest kept
+    assert names[0] not in left and names[1] not in left
+    for n in other:                                # untouched
+        assert n in left, left
+
+
 def test_folded_harmonic_dft_matches_unfolded():
     """fold=True (even/odd symmetry decomposition at half the lanes) ==
     fold=False on every valid candidate row, interpret mode, both

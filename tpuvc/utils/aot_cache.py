@@ -28,6 +28,32 @@ import pickle
 
 CACHE_DIR = os.environ.get("TPUVC_AOT_DIR", "/tmp/tpuvc-aot")
 
+# Serialized convert executables are 100-220 MB each and every source
+# change mints a new key, so an iteration day strands gigabytes of
+# stale entries.  After each save the cache keeps only the most
+# recently USED entries per tag (loads touch mtime), bounding the dir
+# at ~keep x entry-size per tag.
+KEEP_PER_TAG = int(os.environ.get("TPUVC_AOT_KEEP", "2"))
+
+
+def _prune_tag(cache_dir: str, tag: str, keep: int) -> None:
+    """Best-effort: drop all but the ``keep`` most-recent entries whose
+    file name is exactly ``{tag}-{24 hex}.pkl`` (prefix matching alone
+    would let one tag shadow another that extends it)."""
+    try:
+        entries = []
+        prefix = tag + "-"
+        for name in os.listdir(cache_dir):
+            if (name.startswith(prefix) and name.endswith(".pkl")
+                    and len(name) == len(prefix) + 24 + 4):
+                path = os.path.join(cache_dir, name)
+                entries.append((os.path.getmtime(path), path))
+        entries.sort(reverse=True)
+        for _, path in entries[keep:]:
+            os.unlink(path)
+    except OSError:
+        pass   # concurrent prune/save; the cache stays best-effort
+
 
 def enabled() -> bool:
     # Default ON since the 2026-08-19 campaign proved the round trip
@@ -69,6 +95,10 @@ def aot_cached(jitted, example_args: tuple, tag: str = "fn",
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
             loaded = se.deserialize_and_load(payload, in_tree, out_tree)
+            try:
+                os.utime(path)   # mark used: LRU for _prune_tag
+            except OSError:
+                pass
             if verbose:
                 print(f"[aot] {tag}: loaded cached executable "
                       f"({len(payload) / 1e6:.1f} MB)", flush=True)
@@ -86,6 +116,7 @@ def aot_cached(jitted, example_args: tuple, tag: str = "fn",
         with open(tmp, "wb") as f:
             pickle.dump(blob, f)
         os.replace(tmp, path)
+        _prune_tag(cache_dir, tag, KEEP_PER_TAG)
         if verbose:
             print(f"[aot] {tag}: compiled + cached "
                   f"({len(blob[0]) / 1e6:.1f} MB)", flush=True)
